@@ -1,0 +1,106 @@
+"""URL canonicalization + normalization.
+
+Two distinct keys, on purpose (SURVEY.md §2 C6):
+
+- ``url`` (raw string): the parity dedup key. The reference's seen-set is
+  keyed by the *raw, uncanonicalized* URL string (Redis GET url,
+  mongo_redis_mgr.py:43-47), so crawl-order/seen-set parity uses raw equality.
+- ``canonical(url)`` → ``xxhash64``: OUR seen-set key for the Bloom segments
+  (north_rule: "keyed by canonicalized-URL xxhash64"). Canonicalization:
+  lowercase scheme+host, strip fragment, drop default ports.
+
+``normalize_href`` reproduces the reference's scheme fix-up
+(client_crawler.py:151, 拉钩/lagou.py:43: ``'https:' + href`` for
+scheme-relative links) — link-discovery parity depends on it.
+
+Python and Spark implementations are kept semantically identical; the pure
+functions feed the reference model (tests) and the column expressions feed
+the engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+XXHASH_SEED = 42  # F.xxhash64 default seed
+
+
+# ---------------------------------------------------------------- pure python
+def normalize_href(href: str, scheme: str = "https") -> str:
+    """Scheme fix-up exactly as the reference does it (client_crawler.py:151)."""
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    return href
+
+
+def canonicalize(url: str) -> str:
+    """Lowercase scheme+host, strip fragment, drop default port."""
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return url
+    if not p.scheme or not p.netloc:
+        return url
+    scheme = p.scheme.lower()
+    netloc = p.netloc.lower()
+    if (scheme == "http" and netloc.endswith(":80")) or (
+        scheme == "https" and netloc.endswith(":443")
+    ):
+        netloc = netloc.rsplit(":", 1)[0]
+    out = f"{scheme}://{netloc}{p.path}"
+    if p.query:
+        out += f"?{p.query}"
+    return out
+
+
+def host_of(url: str) -> str | None:
+    try:
+        h = urlsplit(url).hostname
+        return h.lower() if h else None
+    except ValueError:
+        return None
+
+
+def url_md5(url: str) -> str:
+    """Identifier parity with the reference (_id = md5(url),
+    mongo_redis_mgr.py:49)."""
+    return hashlib.md5(url.encode("utf8")).hexdigest()
+
+
+# ------------------------------------------------------------ spark columns
+def normalize_href_col(col: Column, scheme: str = "https") -> Column:
+    return F.when(col.startswith("//"), F.concat(F.lit(scheme + ":"), col)).otherwise(col)
+
+
+def canonical_col(url: Column) -> Column:
+    """Column-expression canonicalization — stays in whole-stage codegen."""
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    auth = F.when(
+        (proto == "http") & auth.endswith(":80"), F.regexp_replace(auth, ":80$", "")
+    ).when(
+        (proto == "https") & auth.endswith(":443"), F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(url, F.lit("QUERY"))
+    base = F.concat(proto, F.lit("://"), auth, path)
+    out = F.when(query.isNotNull(), F.concat(base, F.lit("?"), query)).otherwise(base)
+    # malformed URLs pass through raw, matching canonicalize()
+    return F.when(proto.isNull() | auth.isNull(), url).otherwise(out)
+
+
+def host_col(url: Column) -> Column:
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_hash_col(url: Column) -> Column:
+    """Seen-set key: xxhash64 over the canonical URL (north_rule)."""
+    return F.xxhash64(canonical_col(url))
+
+
+def url_md5_col(url: Column) -> Column:
+    return F.md5(url)

@@ -1,0 +1,110 @@
+"""Driver loop: crawl to fixpoint with one snapshot per round.
+
+The reference's master/worker coordination (master.py heartbeats, pause
+barriers, TCP registration — SURVEY.md §2 A7-A9) collapses into this loop:
+a Spark round IS the barrier; resume-from-snapshot IS crash recovery (and
+fixes the reference's stranded-'downloading'-rows bug §2.H.2 by
+construction — no claim state is ever persisted mid-round).
+
+Each round reads the frontier back from the snapshot it just wrote: that
+truncates lineage (no ever-growing plan), makes every round independently
+resumable, and is exactly how an Iceberg COW MERGE loop behaves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_spark import tables
+from spider_spark.pagerank import apply_priority, pagerank
+from spider_spark.round import CrawlConfig, RoundResult, run_round, seeds_to_frontier
+from spider_spark.seen import SeenSet
+
+
+@dataclass
+class CrawlSummary:
+    rounds_run: int
+    last_round: int
+    n_urls: int
+    n_done: int
+    n_failed: int
+    n_denied: int
+
+
+def crawl(
+    spark: SparkSession,
+    workdir: str | Path,
+    pages: DataFrame,
+    seeds: list[tuple[str, int]],
+    policy: DataFrame,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> CrawlSummary:
+    cfg = cfg or CrawlConfig()
+    workdir = Path(workdir)
+
+    start = tables.latest_round(workdir) if resume else None
+    if start is None:
+        frontier0 = seeds_to_frontier(spark, seeds)
+        tbls = {"frontier": frontier0}
+        seen = SeenSet(cfg.bloom_buckets, cfg.bloom_fpp) if cfg.use_bloom else None
+        if seen is not None:
+            tbls["seen_segments"] = seen.build(frontier0)
+        tables.write_snapshot(workdir, 0, tbls)
+        start = 0
+
+    rounds_run = 0
+    rnd = start
+    for rnd in range(start + 1, cfg.max_rounds + 1):
+        frontier = tables.read_table(spark, workdir, rnd - 1, "frontier")
+        if frontier.where(F.col("status") == "new").limit(1).count() == 0:
+            rnd -= 1
+            break
+
+        seen_prefilter = None
+        seen = None
+        if cfg.use_bloom:
+            seen = SeenSet.load(
+                spark, workdir, rnd - 1,
+                n_buckets=cfg.bloom_buckets, fpp=cfg.bloom_fpp,
+            )
+            seen_prefilter = seen.split
+
+        if cfg.pagerank_every and rnd > 1 and (rnd - 1) % cfg.pagerank_every == 0:
+            all_links = tables.read_appended(spark, workdir, "links", upto_round=rnd - 1)
+            if all_links is not None:
+                frontier = apply_priority(
+                    frontier, pagerank(all_links, cfg.pagerank_alpha, cfg.pagerank_iters)
+                )
+
+        result: RoundResult = run_round(
+            spark, frontier, pages, policy, rnd, cfg, seen_prefilter=seen_prefilter
+        )
+        tbls = {
+            "frontier": result.frontier,
+            "links": result.links,
+            "items": result.items,
+            "fetch_log": result.fetch_log,
+        }
+        if seen is not None:
+            new_urls = result.frontier.where(F.col("discovered_round") == rnd)
+            tbls["seen_segments"] = seen.merged(new_urls)
+        tables.write_snapshot(workdir, rnd, tbls)
+        for df in result.cached:
+            df.unpersist()
+        rounds_run += 1
+
+    final = tables.read_table(spark, workdir, rnd, "frontier")
+    by_status = dict(final.groupBy("status").count().collect())
+    return CrawlSummary(
+        rounds_run=rounds_run,
+        last_round=rnd,
+        n_urls=final.count(),
+        n_done=by_status.get("done", 0),
+        n_failed=by_status.get("failed", 0),
+        n_denied=by_status.get("denied", 0),
+    )

