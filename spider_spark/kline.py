@@ -1,0 +1,82 @@
+"""Rolling-window time-series operators (SURVEY.md §2.F — the reference's
+crypto periphery, Kline_analyze.py).
+
+The reference computes these with pandas rolling on a single-symbol frame;
+here they are Spark window functions partitioned by series key — distributed
+across symbols, linear per symbol, no UDF.
+
+All frames ordered by (ts, id) for a total order (the reference's pandas
+index is implicitly unique; Spark needs the tiebreak made explicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+def series_window(key: str = "user_id", ts: str = "ts", id_col: str = "event_id") -> WindowSpec:
+    return Window.partitionBy(key).orderBy(ts, id_col)
+
+
+def rolling_mean(value: Column, w: WindowSpec, n: int) -> Column:
+    """F1: MA(n) — Kline_analyze.py:134-135 ``close.rolling(n).mean()``.
+    pandas emits NaN until the window is full; reproduced via count guard."""
+    frame = w.rowsBetween(-(n - 1), 0)
+    full = F.count(value).over(frame) >= n
+    return F.when(full, F.avg(value).over(frame))
+
+
+def rolling_max(value: Column, w: WindowSpec, n: int) -> Column:
+    """F4: HH(n) — Kline_analyze.py:155 ``high.rolling(n).max()``."""
+    frame = w.rowsBetween(-(n - 1), 0)
+    return F.when(F.count(value).over(frame) >= n, F.max(value).over(frame))
+
+
+def rolling_min(value: Column, w: WindowSpec, n: int) -> Column:
+    frame = w.rowsBetween(-(n - 1), 0)
+    return F.when(F.count(value).over(frame) >= n, F.min(value).over(frame))
+
+
+def crossover(fast: Column, slow: Column, w: WindowSpec) -> Column:
+    """F2 (Kline_analyze.py:136-139): 1 where fast>slow flips False→True
+    (gold cross), 2 on the True→False flip (dead cross), else 0."""
+    above = (fast > slow).cast("int")
+    prev = F.lag(above).over(w)
+    return (
+        F.when(prev.isNotNull() & (above == 1) & (prev == 0), F.lit(1))
+        .when(prev.isNotNull() & (above == 0) & (prev == 1), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+
+def true_range(high: Column, low: Column, close: Column, w: WindowSpec) -> Column:
+    """F3 (Kline_analyze.py:150-154): TR = max(high-low, |high-prev_close|,
+    |low-prev_close|); first row falls back to high-low."""
+    prev_close = F.lag(close).over(w)
+    return F.greatest(
+        high - low,
+        F.coalesce(F.abs(high - prev_close), high - low),
+        F.coalesce(F.abs(low - prev_close), high - low),
+    )
+
+
+def atr(high: Column, low: Column, close: Column, w: WindowSpec, n: int = 14) -> Column:
+    """F3: ATR(n) = rolling mean of TR."""
+    return rolling_mean(true_range(high, low, close, w), w, n)
+
+
+def sessionize(df: DataFrame, gap_seconds: int, key: str = "user_id",
+               ts: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Gap-based session assignment: a new session starts when the delta to
+    the previous event exceeds the gap. Classic lag + conditional cumsum —
+    one shuffle on the series key, linear within."""
+    w = series_window(key, ts, id_col)
+    epoch = F.unix_timestamp(F.col(ts))  # NTZ-safe (session tz = UTC)
+    delta = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(delta.isNull() | (delta > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )

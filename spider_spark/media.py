@@ -1,0 +1,103 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The reference downloads media bytes to files (钓鱼视频.py:25-28 video GET →
+open(...,'wb')) and matches images in C++ (OpencvMatch/imgmatch.cpp) — the
+Spark-native shape is a ``binary`` payload column + typed metadata struct,
+processed in Arrow-batched ``mapInPandas`` so each task streams batches
+without materializing whole partitions.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode step is gated: ``decode_image`` raises NotImplementedError unless a
+deterministic fake decoder is injected. Everything Spark-side — schema,
+batch iteration, partitioning, UDF signatures — is real and tested; swapping
+in a real decoder changes one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id long, n_bytes long, crc32 long, sha256_prefix string, "
+    "width int, height int, format string, error string"
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    """(width, height, format) — real decoder not available in this sandbox."""
+    raise NotImplementedError("image codec not installed; inject fake_decoder")
+
+
+def fake_decoder(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in: derives dims from the payload hash — lets the
+    full pipeline (schema, batching, error paths) run and be asserted on."""
+    h = zlib.crc32(payload)
+    return (64 + h % 512, 64 + (h >> 9) % 512, "fake")
+
+
+def extract_media_meta(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, str]] = decode_image,
+) -> DataFrame:
+    """Binary payloads → metadata rows via mapInPandas (Arrow batches).
+
+    Decode failures land in ``error`` (never thrown — same policy as the
+    parser, SURVEY.md §2.H.10). Stat columns (n_bytes, crc32, sha1) are
+    always computed — they don't need a codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf[id_col].astype("int64"),
+                "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                "crc32": pdf[payload_col].map(zlib.crc32).astype("int64"),
+                "sha256_prefix": pdf[payload_col].map(
+                    lambda b: hashlib.sha256(b).hexdigest()[:16]
+                ),
+            }
+            dims = {"width": [], "height": [], "format": [], "error": []}
+            for b in pdf[payload_col]:
+                try:
+                    w, h, fmt = decoder(bytes(b))
+                    dims["width"].append(w)
+                    dims["height"].append(h)
+                    dims["format"].append(fmt)
+                    dims["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — error becomes data
+                    dims["width"].append(None)
+                    dims["height"].append(None)
+                    dims["format"].append(None)
+                    dims["error"].append(f"{type(exc).__name__}: {exc}")
+            out.update(
+                {
+                    "width": pd.array(dims["width"], dtype="Int32"),
+                    "height": pd.array(dims["height"], dtype="Int32"),
+                    "format": dims["format"],
+                    "error": dims["error"],
+                }
+            )
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int,
+                      id_col: str = "media_id") -> DataFrame:
+    """Video frame-sampling *plumbing*: expands each media row into frame
+    tasks (media_id, frame_no) without decoding — the explode side of a
+    decode that would run in the same mapInPandas slot. Deterministic frame
+    count derives from payload length (real decoder would read container
+    metadata)."""
+    n_frames = (F.octet_length(F.col("payload")) / F.lit(16)).cast("int") + 1
+    return media.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),
+    )

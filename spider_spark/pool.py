@@ -1,0 +1,75 @@
+"""Scored resource pool as a DataFrame (SURVEY.md §2.E — ProxyPool).
+
+The reference keeps a Redis sorted set of proxies scored 0..100
+(ProxyPool/proxypool/db.py:19-99, setting.py:13-15). The Spark-native pool
+is a small DataFrame with the same operators; in the crawl engine it is
+broadcast to the round job (the Flask /random HTTP hop — api.py:16-38 —
+disappears into a broadcast join).
+
+MIN=0, INITIAL=10, MAX=100 per setting.py:13-15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_SCORE = 0
+INITIAL_SCORE = 10
+MAX_SCORE = 100
+PROXY_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}:\d{1,5}$"
+
+
+def add(pool: DataFrame, new: DataFrame) -> DataFrame:
+    """E1 (db.py:19-30): format-validate, insert only if absent, score 10."""
+    valid = new.select("proxy").where(F.col("proxy").rlike(PROXY_RE)).distinct()
+    fresh = valid.join(pool.select("proxy"), "proxy", "left_anti").withColumn(
+        "score", F.lit(INITIAL_SCORE)
+    )
+    return pool.unionByName(fresh)
+
+
+def decrease(pool: DataFrame, failed: DataFrame) -> DataFrame:
+    """E3 (db.py:47-59): score −1 on failure; evict when it falls below MIN."""
+    delta = failed.select("proxy").distinct().withColumn("_dec", F.lit(1))
+    return (
+        pool.join(delta, "proxy", "left")
+        .select("proxy", (F.col("score") - F.coalesce(F.col("_dec"), F.lit(0))).alias("score"))
+        .where(F.col("score") > MIN_SCORE)
+    )
+
+
+def promote(pool: DataFrame, ok: DataFrame) -> DataFrame:
+    """E4 (db.py:69-76): set score to MAX on successful probe."""
+    mark = ok.select("proxy").distinct().withColumn("_max", F.lit(True))
+    return pool.join(mark, "proxy", "left").select(
+        "proxy",
+        F.when(F.col("_max"), F.lit(MAX_SCORE)).otherwise(F.col("score")).alias("score"),
+    )
+
+
+def top_batch(pool: DataFrame, start: int, stop: int) -> DataFrame:
+    """E5 (db.py:78-86): ranked range scan [start, stop) by descending score
+    (proxy asc tiebreak — zset lexicographic order analog)."""
+    w = Window.orderBy(F.desc("score"), F.asc("proxy"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > start) & (F.col("rank") <= stop))
+        .select("proxy", "score", "rank")
+    )
+
+
+def pick_random(pool: DataFrame, seed: int = 42) -> DataFrame:
+    """E2 (db.py:32-45): prefer MAX_SCORE members; else random from the
+    top-100 by score; deterministic via seeded hash order (the reference's
+    random.choice is the only nondeterminism — seeded here)."""
+    maxed = pool.where(F.col("score") == MAX_SCORE)
+    top = top_batch(pool, 0, 100).drop("rank")
+    pick_from = maxed if maxed.limit(1).count() > 0 else top
+    return (
+        pick_from.withColumn("_r", F.xxhash64(F.col("proxy"), F.lit(seed)))
+        .orderBy("_r")
+        .limit(1)
+        .drop("_r")
+    )

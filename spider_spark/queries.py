@@ -1,0 +1,1087 @@
+"""Driver-contract query registry: every operator claimed in SURVEY.md §2
+(plus the training-data-pipeline tier) as a (Spark callable, DuckDB oracle
+SQL) pair over the driver's parquet tables.
+
+Contract (README / __spark_entry__.py): each Spark query and its oracle
+produce identical row counts, schemas (column names), and order-insensitive
+value hashes at sf0.01. Conventions that make cross-engine hashes match:
+
+- every computed column aliased identically on both sides;
+- money aggregates summed as DECIMAL (exact, order-independent) and cast to
+  DOUBLE at the end;
+- doubles from windowed float sums rounded to 6-9 places (segment-tree vs
+  sequential summation differ in the last ulp);
+- ratios derived only from exact integers (bit-identical division);
+- all hashing via the shared md5-prefix hash60 (textops.hash60 /
+  textops.hash60_sql);
+- timestamps rendered with date_format/strftime to sidestep type gaps.
+
+Queries whose semantics SQL cannot express (the iterative crawl, approximate
+LSH ANN) return None oracles → the driver records rows-only checks — except
+crawl_docs, whose BFS fixpoint IS expressible as a recursive CTE, giving the
+crawl engine itself a full value-level oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spider_spark import dedup, kline, media, pool, textops, vectorops
+from spider_spark.canon import canonical_col, host_col
+from spider_spark.crawl import crawl
+from spider_spark.pagerank import pagerank
+from spider_spark.round import CrawlConfig
+from spider_spark import tables as tbl
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# =====================================================================
+# Relational core (SURVEY.md §2.G) — scan/filter/project/join/agg/sort
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)))::DOUBLE AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the partial+final agg Catalyst plans for free
+    (reference's only aggregates are crash_callback.py:143-161 sums)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_topk",
+    """
+    SELECT o_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)))::DOUBLE AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_topk(spark, sf_dir):
+    """Join + agg + exact-decimal top-k. customer side is broadcast-small."""
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@q(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)))::DOUBLE AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: multi-way join; dims broadcast, facts shuffle once."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "rollup_order_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_priority(spark, sf_dir):
+    """Hierarchical totals (grouping-sets family — absent in the reference,
+    listed in §2.G as a gap we fill)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@q(
+    "anti_join_never_ordered",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def anti_join_never_ordered(spark, sf_dir):
+    """LEFT ANTI JOIN — the exact shape of the frontier seen-set escape
+    (SURVEY.md §2 A1: Redis-hit ⇒ drop; here: urgent-ordered ⇒ drop)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join_active",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > 5000
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_join_active(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_acctbal")
+
+
+@q(
+    "except_segment",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def except_segment(spark, sf_dir):
+    """Set difference (§2.G set ops — the reference only has $addToSet)."""
+    a = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    b = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.subtract(b)
+
+
+# =====================================================================
+# Frontier / scheduling semantics (§2.A) on the events table
+# =====================================================================
+
+@q(
+    "per_host_topk",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+)
+def per_host_topk(spark, sf_dir):
+    """A2/A12's per-host budgeted pop as a pure window query (round.pop_batch
+    is this exact shape with salting; user_id stands in for host)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@q(
+    "first_wins_dedup",
+    """
+    SELECT user_id, event_id AS first_event_id, event_type AS first_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def first_wins_dedup(spark, sf_dir):
+    """A1 first-wins semantics (mongo_redis_mgr.py:43-47: the first discovery
+    of a URL fixes its depth/status; later discoveries only bump a counter)."""
+    ev = T(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("f")
+    )
+    return first.select(
+        "user_id",
+        F.col("f.event_id").alias("first_event_id"),
+        F.col("f.event_type").alias("first_type"),
+    )
+
+
+@q(
+    "inlink_counts",
+    """
+    SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def inlink_counts(spark, sf_dir):
+    """A1's Redis in-link counter as groupBy().count()."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
+    "set_merge_addtoset",
+    """
+    SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def set_merge_addtoset(spark, sf_dir):
+    """D3: Mongo $addToSet accumulate (weibo/pipelines.py:74-82) →
+    collect_set + array_sort, rendered as a canonical string."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"))
+    )
+
+
+# =====================================================================
+# Scored resource pool (§2.E) over supplier
+# =====================================================================
+
+def _pool_df(spark, sf_dir):
+    """Deterministic pool from supplier: score = |floor(acctbal)| % 101."""
+    return T(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("proxy"),
+        (F.abs(F.floor(F.col("s_acctbal"))) % 101).cast("int").alias("score"),
+        "s_nationkey",
+    )
+
+_POOL_SQL = "(SELECT s_name AS proxy, (abs(floor(s_acctbal))::BIGINT % 101)::INT AS score, s_nationkey FROM supplier)"
+
+
+@q(
+    "pool_top_batch",
+    f"""
+    SELECT proxy, score, rank FROM (
+      SELECT proxy, score, row_number() OVER (ORDER BY score DESC, proxy)::INT AS rank
+      FROM {_POOL_SQL} p)
+    WHERE rank <= 20
+    """,
+)
+def pool_top_batch(spark, sf_dir):
+    """E5 ranked range scan (ProxyPool db.py:78-86 zrevrange)."""
+    return pool.top_batch(_pool_df(spark, sf_dir).drop("s_nationkey"), 0, 20)
+
+
+@q(
+    "pool_decrease_evict",
+    f"""
+    SELECT proxy, (score - CASE WHEN s_nationkey IN (1,2,3) THEN 1 ELSE 0 END) AS score
+    FROM {_POOL_SQL} p
+    WHERE (score - CASE WHEN s_nationkey IN (1,2,3) THEN 1 ELSE 0 END) > 0
+    """,
+)
+def pool_decrease_evict(spark, sf_dir):
+    """E3 score decay + eviction below MIN_SCORE (db.py:47-59)."""
+    p = _pool_df(spark, sf_dir)
+    failed = p.where(F.col("s_nationkey").isin(1, 2, 3)).select("proxy")
+    return pool.decrease(p.drop("s_nationkey"), failed)
+
+
+# =====================================================================
+# Rolling-window time series (§2.F) over events
+# =====================================================================
+
+@q(
+    "rolling_mean_ma5",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN count(*) OVER w >= 5 THEN round(avg(value) OVER w, 6) END AS ma5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_mean_ma5(spark, sf_dir):
+    """F1: MA5 (Kline_analyze.py:134), pandas NaN-until-full reproduced."""
+    ev = T(spark, sf_dir, "events")
+    w = kline.series_window()
+    return ev.select(
+        "event_id", "user_id", F.round(kline.rolling_mean(F.col("value"), w, 5), 6).alias("ma5")
+    )
+
+
+@q(
+    "rolling_minmax",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN count(*) OVER w >= 10 THEN max(value) OVER w END AS hh,
+           CASE WHEN count(*) OVER w >= 10 THEN min(value) OVER w END AS ll
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_minmax(spark, sf_dir):
+    """F4: HH/LL rolling extrema (Kline_analyze.py:155-158) — exact picks,
+    bit-identical with no rounding."""
+    ev = T(spark, sf_dir, "events")
+    w = kline.series_window()
+    return ev.select(
+        "event_id", "user_id",
+        kline.rolling_max(F.col("value"), w, 10).alias("hh"),
+        kline.rolling_min(F.col("value"), w, 10).alias("ll"),
+    )
+
+
+@q(
+    "crossover_signals",
+    """
+    WITH ma AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN count(*) OVER w3 >= 3 THEN avg(value) OVER w3 END AS f,
+             CASE WHEN count(*) OVER w7 >= 7 THEN avg(value) OVER w7 END AS s
+      FROM events
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w7 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    lagged AS (
+      SELECT event_id, user_id,
+             CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END AS above,
+             lag(CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM ma)
+    SELECT event_id, user_id,
+           CASE WHEN prev IS NOT NULL AND above = 1 AND prev = 0 THEN 1
+                WHEN prev IS NOT NULL AND above = 0 AND prev = 1 THEN 2
+                ELSE 0 END AS signal
+    FROM lagged
+    """,
+)
+def crossover_signals(spark, sf_dir):
+    """F2: gold/dead cross (Kline_analyze.py:136-139) over MA3/MA7."""
+    ev = T(spark, sf_dir, "events")
+    w = kline.series_window()
+    fast = kline.rolling_mean(F.col("value"), w, 3)
+    slow = kline.rolling_mean(F.col("value"), w, 7)
+    return ev.select(
+        "event_id", "user_id", kline.crossover(fast, slow, w).alias("signal")
+    )
+
+
+@q(
+    "atr_true_range",
+    """
+    WITH k AS (SELECT event_id, user_id, ts, value + 1 AS high, value - 1 AS low, value AS close FROM events),
+    tr AS (
+      SELECT event_id, user_id, ts,
+             greatest(high - low,
+                      coalesce(abs(high - lag(close) OVER w), high - low),
+                      coalesce(abs(low - lag(close) OVER w), high - low)) AS tr
+      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, round(tr, 6) AS tr,
+           CASE WHEN count(*) OVER wr >= 5 THEN round(avg(tr) OVER wr, 6) END AS atr
+    FROM tr
+    WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def atr_true_range(spark, sf_dir):
+    """F3: TR/ATR (Kline_analyze.py:150-154); synthetic high/low = value±1."""
+    ev = T(spark, sf_dir, "events")
+    w = kline.series_window()
+    high, low, close = F.col("value") + 1, F.col("value") - 1, F.col("value")
+    tr = kline.true_range(high, low, close, w)
+    d = ev.select("event_id", "user_id", "ts", tr.alias("tr"))
+    w2 = kline.series_window()
+    return d.select(
+        "event_id", "user_id",
+        F.round(F.col("tr"), 6).alias("tr"),
+        F.round(kline.rolling_mean(F.col("tr"), w2, 5), 6).alias("atr"),
+    )
+
+
+@q(
+    "sessionize",
+    """
+    SELECT event_id, user_id,
+           sum(CASE WHEN delta IS NULL OR delta > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_no
+    FROM (SELECT event_id, user_id, ts,
+                 floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM events)
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — lag + conditional cumsum."""
+    return kline.sessionize(T(spark, sf_dir, "events"), 1800).select(
+        "event_id", "user_id", "session_no"
+    )
+
+
+# =====================================================================
+# Scalar / parse operators (§2.C) over documents + events
+# =====================================================================
+
+@q(
+    "ts_convert",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           floor(epoch(ts))::BIGINT AS epoch_s,
+           strftime(ts + 8 * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS ts_cn
+    FROM events
+    """,
+)
+def ts_convert(spark, sf_dir):
+    """C9: epoch/ISO → formatted strings, +8h shift (抖音.py:37-40,
+    Kline_analyze.py:40-43)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 8 HOURS"), "yyyy-MM-dd HH:mm").alias("ts_cn"),
+    )
+
+
+_NOW = "2026-06-01 10:00:00"
+
+@q(
+    "relative_date_norm",
+    f"""
+    WITH r AS (
+      SELECT event_id,
+             CASE event_id % 4
+               WHEN 0 THEN '刚刚'
+               WHEN 1 THEN ((event_id % 59) + 1)::VARCHAR || '分钟前'
+               WHEN 2 THEN '昨天'
+               ELSE lpad(((event_id % 12) + 1)::VARCHAR, 2, '0') || '-' ||
+                    lpad(((event_id % 28) + 1)::VARCHAR, 2, '0')
+             END AS rel
+      FROM events)
+    SELECT event_id, rel,
+           CASE
+             WHEN rel = '刚刚' THEN strftime(TIMESTAMP '{_NOW}', '%Y-%m-%d %H:%M')
+             WHEN rel LIKE '%分钟前' THEN strftime(
+                TIMESTAMP '{_NOW}' - CAST(regexp_extract(rel, '(\\d+)', 1) AS BIGINT) * INTERVAL 1 MINUTE,
+                '%Y-%m-%d %H:%M')
+             WHEN rel = '昨天' THEN strftime(TIMESTAMP '{_NOW}' - INTERVAL 1 DAY, '%Y-%m-%d') || ' 00:00'
+             ELSE '2026-' || rel || ' 00:00'
+           END AS norm
+    FROM r
+    """,
+)
+def relative_date_norm(spark, sf_dir):
+    """C8: '刚刚/N分钟前/昨天/MM-DD' → absolute '%Y-%m-%d %H:%M' strings
+    (weibo/pipelines.py:24-38, with §2.H.6's 昨天 TypeError fixed), against
+    a frozen now for determinism."""
+    ev = T(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("刚刚"))
+        .when(F.col("event_id") % 4 == 1, F.concat(((F.col("event_id") % 59) + 1).cast("string"), F.lit("分钟前")))
+        .when(F.col("event_id") % 4 == 2, F.lit("昨天"))
+        .otherwise(
+            F.concat(
+                F.lpad(((F.col("event_id") % 12) + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("event_id") % 28) + 1).cast("string"), 2, "0"),
+            )
+        )
+    )
+    d = ev.select("event_id", rel.alias("rel"))
+    now = F.lit(_NOW).cast("timestamp")
+    mins = F.regexp_extract(F.col("rel"), r"(\d+)", 1).cast("long")
+    norm = (
+        F.when(F.col("rel") == "刚刚", F.date_format(now, "yyyy-MM-dd HH:mm"))
+        .when(
+            F.col("rel").endswith("分钟前"),
+            F.date_format(F.timestamp_seconds(F.unix_timestamp(now) - mins * 60), "yyyy-MM-dd HH:mm"),
+        )
+        .when(F.col("rel") == "昨天", F.concat(F.date_format(F.date_sub(now, 1), "yyyy-MM-dd"), F.lit(" 00:00")))
+        .otherwise(F.concat(F.lit("2026-"), F.col("rel"), F.lit(" 00:00")))
+    )
+    return d.select("event_id", "rel", norm.alias("norm"))
+
+
+@q(
+    "json_projection",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+           CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 'hi' ELSE 'lo' END AS bucket
+    FROM events
+    """,
+)
+def json_projection(spark, sf_dir):
+    """C7: json.loads + field-map projection (weibo/spiders/weibocn.py:31-43)
+    → from_json + select."""
+    ev = T(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k") >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("bucket"),
+    )
+
+
+@q(
+    "md5_ids",
+    f"""
+    SELECT doc_id, md5(text) AS text_md5, {textops.hash60_sql('text')} AS h60
+    FROM documents
+    """,
+)
+def md5_ids(spark, sf_dir):
+    """C14: _id = md5(content) (mongo_redis_mgr.py:49) + the shared 60-bit
+    integer hash used by the seen-set/minhash family."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5("text").alias("text_md5"), textops.hash60(F.col("text")).alias("h60"))
+
+
+@q(
+    "regex_extract_scan",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]*an[a-z]*'))::INT AS n_matches,
+           coalesce(regexp_extract_all(text, '[a-z]*an[a-z]*')[1], '') AS first_match
+    FROM documents
+    """,
+)
+def regex_extract_scan(spark, sf_dir):
+    """C4/C5: regex findall link/field discovery (client_crawler.py:139,
+    lagou.py:29-36) as builtin regexp_extract_all."""
+    d = T(spark, sf_dir, "documents")
+    m = F.regexp_extract_all(F.col("text"), F.lit("[a-z]*an[a-z]*"), 0)
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_matches"),
+        F.coalesce(F.try_element_at(m, F.lit(1)), F.lit("")).alias("first_match"),
+    )
+
+
+@q(
+    "string_cleanup",
+    """
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')[1] AS first_word,
+           length(replace(' ' || text || ' ', ' the ', ' '))::INT AS len_nothe,
+           trim(upper(substr(text, 1, 10))) AS head_up
+    FROM documents
+    """,
+)
+def string_cleanup(spark, sf_dir):
+    """C11: strip/split/replace chains (client_crawler.py:97, meituan.py:74)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(textops.tokens_col(F.col("text")), 1).alias("first_word"),
+        F.length(F.replace(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), F.lit(" the "), F.lit(" "))).alias("len_nothe"),
+        F.trim(F.upper(F.substring(F.col("text"), 1, 10))).alias("head_up"),
+    )
+
+
+@q(
+    "url_normalize",
+    """
+    SELECT doc_id,
+           'https://' || lower(source) || '.example.com/Doc/' || doc_id || '?q=1' AS url_canon,
+           lower(source) || '.example.com' AS host
+    FROM documents
+    """,
+)
+def url_normalize(spark, sf_dir):
+    """C6: URL canonicalization (canon.py): lowercase scheme+host, drop
+    default :443, strip #fragment, keep path case + query. The oracle states
+    the expected output directly; the Spark side derives it through
+    parse_url — a real parity check of the canonicalizer."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM:443/Doc/"),
+        F.col("doc_id").cast("string"), F.lit("?q=1#frag"),
+    )
+    return d.select(
+        "doc_id",
+        canonical_col(raw).alias("url_canon"),
+        host_col(raw).alias("host"),
+    )
+
+
+# =====================================================================
+# Text analysis (training-data tier) over documents
+# =====================================================================
+
+_SQL_TOKENS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+def _sql_shingles(n: int) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(w) - {n - 1}, 0)), i -> {gram}))"
+    )
+
+
+@q(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS})::INT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe_pieces
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish piece regex."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(textops.tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)).alias("n_bpe_pieces"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    pats = textops.LANG_MARKERS[lang]
+    terms = [
+        f"((length(p) - length(replace(p, '{p_}', ''))) / {len(p_)})" for p_ in pats
+    ]
+    return "(" + " + ".join(terms) + ")::DOUBLE"
+
+
+_LANGS_DESC = sorted(textops.LANG_MARKERS, reverse=True)
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN s_{l} = m THEN '{l}'" for l in _LANGS_DESC[:-1]
+) + f" ELSE '{_LANGS_DESC[-1]}' END"
+
+@q(
+    "lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {" , ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in sorted(textops.LANG_MARKERS))}
+      FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)),
+    m AS (SELECT *, greatest({', '.join('s_' + l for l in sorted(textops.LANG_MARKERS))}) AS m FROM scored)
+    SELECT doc_id, {_LANG_CASE} AS lang_pred, s_en AS score_en FROM m
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic; argmax with deterministic
+    lexicographically-last tiebreak (matched CASE chain in the oracle)."""
+    d = T(spark, sf_dir, "documents")
+    scores = textops.lang_scores_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        textops.lang_id_col(F.col("text")).alias("lang_pred"),
+        scores["en"].alias("score_en"),
+    )
+
+
+@q(
+    "quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars,
+           len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::BIGINT AS n_stopwords,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::DOUBLE / len(toks)::DOUBLE
+                ELSE 0.0 END AS stopword_ratio
+    FROM t
+    """,
+)
+def quality_scores(spark, sf_dir):
+    """Quality scoring: integer features + exact-ratio stopword share."""
+    d = T(spark, sf_dir, "documents")
+    cols = textops.quality_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+@q(
+    "doc_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, {_sql_shingles(5)} AS grams FROM t)
+    SELECT doc_id,
+           len(grams)::BIGINT AS n_shingles,
+           coalesce(list_min(list_transform(grams, s -> {textops.hash60_sql('s')})), 0)::BIGINT AS fp_min,
+           (coalesce(list_sum(list_transform(grams, s -> {textops.hash60_sql('s')} % 1000003)), 0) % 1000000007)::BIGINT AS fp_sum_mod
+    FROM g
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: rolling-hash digest over word 5-grams."""
+    d = T(spark, sf_dir, "documents")
+    cols = textops.fingerprint_cols(F.col("text"), 5)
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+# =====================================================================
+# Deduplication suite (training-data tier) over documents/embeddings
+# =====================================================================
+
+_DOCS_DOUBLED = """
+  (SELECT doc_id, text FROM documents
+   UNION ALL SELECT doc_id + 100000, text FROM documents)
+"""
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS text_md5 FROM {_DOCS_DOUBLED} dd),
+    g AS (SELECT text_md5, min(doc_id) AS survivor_id, count(*) AS n FROM d GROUP BY text_md5)
+    SELECT d.doc_id, g.survivor_id, d.text_md5
+    FROM d JOIN g USING (text_md5) WHERE g.n > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy; input doubled so dup groups exist at
+    every sf (sf0.01 documents are all distinct)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return dedup.exact_dupes(doubled)
+
+
+_SQL_JACCARD = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+    WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= {{thr}}
+"""
+
+@q("dedup_ngram_jaccard", _SQL_JACCARD.format(thr=0.8))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard ≥ 0.8 pairs (shingle self-join — only docs
+    sharing a shingle ever pair up)."""
+    return dedup.jaccard_pairs(T(spark, sf_dir, "documents"), 0.8, 3)
+
+
+@q("dedup_minhash_lsh", _SQL_JACCARD.format(thr=0.9))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128) → 32-band LSH → candidate join → exact-Jaccard verify at
+    0.9. Verified output ≡ exact answer (band-miss probability ≈ 1.5e-15 at
+    the threshold), so the oracle is the exact-Jaccard query."""
+    return dedup.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.9)
+
+
+_SIMHASH_BITS_SQL = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(textops.SIMHASH_BITS)
+)
+_SIMHASH_FOLD_SQL = " + ".join(
+    f"CASE WHEN s{i} >= 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(textops.SIMHASH_BITS)
+)
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tok
+      FROM documents),
+    th AS (SELECT doc_id, {textops.hash60_sql('tok')} AS h FROM toks),
+    sums AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM th GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({_SIMHASH_FOLD_SQL}) AS simhash FROM sums)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash near-dup pairs (hamming ≤ 3) with pigeonhole chunk
+    blocking; oracle recomputes the identical sketch quadratically."""
+    return dedup.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.47
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs; threshold 0.47 sits in a measured gap
+    of the corpus (0.467 / 0.472 neighbors) so float noise can't flip rows."""
+    return dedup.embedding_dup_pairs(T(spark, sf_dir, "embeddings"), 0.47)
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+@q(
+    "ann_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS c
+          FROM q JOIN e ON e.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INT AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 (correctness baseline for ANN): query side
+    broadcast, corpus streamed, per-query window top-k."""
+    e = T(spark, sf_dir, "embeddings")
+    return vectorops.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@q("ann_lsh_topk")  # approximate — rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH bucketed top-k — the 10^9-vector scale path
+    (bucket join instead of cross join). Approximate ⇒ no SQL oracle."""
+    e = T(spark, sf_dir, "embeddings")
+    return vectorops.lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, n_bits=4, dim=64)
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+@q(
+    "media_meta",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           substr(sha256(text), 1, 16) AS sha256_prefix
+    FROM documents
+    """,
+)
+def media_meta(spark, sf_dir):
+    """Opaque-binary metadata extraction through Arrow-batched mapInPandas
+    (media.extract_media_meta); payload synthesized as utf-8 bytes of text.
+    Decode columns (width/height) use the deterministic fake decoder and are
+    asserted in pytest; the oracle checks the codec-free stat columns."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = media.extract_media_meta(d, decoder=media.fake_decoder)
+    return meta.select("media_id", "n_bytes", "sha256_prefix")
+
+
+# =====================================================================
+# PageRank (§2.A A6) + the crawl itself
+# =====================================================================
+
+def _pagerank_oracle(iters: int = 5, alpha: float = 0.9) -> str:
+    pre = """
+    WITH edges AS (SELECT DISTINCT l_suppkey::VARCHAR AS src, (l_partkey % 100)::VARCHAR AS dst FROM lineitem),
+    nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    parts = [pre]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    c{i} AS (SELECT e.dst AS url, sum(r.rank / o.od) AS received
+             FROM edges e JOIN r{p} r ON r.url = e.src JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT coalesce(sum(r.rank), 0) AS d FROM r{p} r
+             WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.url)),
+    r{i} AS (SELECT n.url,
+                    (1 - {alpha}) / (SELECT n FROM nn)
+                    + {alpha} * (SELECT d FROM d{i}) / (SELECT n FROM nn)
+                    + {alpha} * coalesce(c.received, 0) AS rank
+             FROM nodes n LEFT JOIN c{i} c ON c.url = n.url)""")
+    return (
+        ",".join(parts)
+        + f"\n    SELECT url AS node, round(rank, 8) AS rank FROM r{iters}"
+    )
+
+
+@q("pagerank_ranks", _pagerank_oracle())
+def pagerank_ranks(spark, sf_dir):
+    """A6 done right (master.py:125-149 semantics, working implementation):
+    5 damped iterations with uniform dangling redistribution over the
+    supplier→part bipartite graph; oracle = unrolled CTE chain."""
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("string").alias("src"),
+        (F.col("l_partkey") % 100).cast("string").alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, alpha=0.9, iters=5)
+    return ranks.select(F.col("url").alias("node"), F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------- the crawl
+_CRAWL_ORACLE = """
+    WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS c FROM documents),
+    reach(doc, d) AS (
+      SELECT doc, d FROM (VALUES (0::BIGINT, 0), (1::BIGINT, 0), (2::BIGINT, 0)) t(doc, d)
+      UNION
+      SELECT (7 * r.doc + k.k) % (SELECT c FROM nn), r.d + 1
+      FROM reach r, (VALUES (1), (2), (3)) k(k)
+      WHERE r.d < 40)
+    SELECT doc AS doc_id, min(d) AS depth, min(d) + 1 AS fetched_round
+    FROM reach GROUP BY doc
+"""
+
+
+def _doc_pages(spark: SparkSession, sf_dir: str, limit: int | None = None):
+    """Deterministic corpus from the documents table: doc i links to
+    (7i+k) % N for k∈{1,2,3}; 13 hosts. Returns (pages, seeds, policy, n)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    if limit is not None:
+        docs = docs.where(F.col("doc_id") < limit)
+    n = docs.count()
+
+    def url_expr(doc):
+        return F.concat(
+            F.lit("https://h"), (doc % 13).cast("string"),
+            F.lit(".docs.example.com/d/"), doc.cast("string"),
+        )
+
+    anchors = [
+        F.concat(F.lit('<a href="'), url_expr((F.col("doc_id") * 7 + k) % n), F.lit('">l</a>'))
+        for k in (1, 2, 3)
+    ]
+    html = F.concat(
+        F.lit("<html><head><title>D"), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"), F.col("text"), F.lit("</p>"),
+        *anchors, F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        url_expr(F.col("doc_id")).alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    seeds = [(f"https://h{i % 13}.docs.example.com/d/{i}", 0) for i in range(min(3, n))]
+    policy = spark.createDataFrame(
+        [(f"h{i}.docs.example.com", 5.0, ["/"], [], -1) for i in range(13)],
+        "host string, crawl_delay double, robots_allow array<string>, robots_deny array<string>, host_budget int",
+    )
+    return pages, seeds, policy, n
+
+
+@q("crawl_docs", _CRAWL_ORACLE)
+def crawl_docs(spark, sf_dir):
+    """THE flagship: full crawl engine (frontier ⋈ pages rounds, politeness,
+    first-wins dedup, snapshot per round) over a deterministic link graph
+    derived from the documents table. The BFS fixpoint is SQL-expressible,
+    so even the iterative crawl gets a value-level oracle: depth = BFS
+    min-depth, fetched_round = depth + 1."""
+    pages, seeds, policy, n = _doc_pages(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="crawl_docs_")
+    summary = crawl(
+        spark, workdir, pages, seeds, policy,
+        CrawlConfig(max_rounds=45, use_bloom=False, n_salt=4),
+    )
+    frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
+    return frontier.where(F.col("status") == "done").select(
+        F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("fetched_round").cast("int").alias("fetched_round"),
+    )
+
+
+def flagship_entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke: the crawl flagship at sf0.001, capped to 120 docs."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages, seeds, policy, n = _doc_pages(spark, sf_dir, limit=120)
+    workdir = tempfile.mkdtemp(prefix="entry_crawl_")
+    summary = crawl(
+        spark, workdir, pages, seeds, policy,
+        CrawlConfig(max_rounds=30, use_bloom=True, bloom_buckets=8, n_salt=4),
+    )
+    frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
+    return frontier.select("url", "depth", "status", "discovered_round", "fetched_round")

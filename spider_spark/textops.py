@@ -1,0 +1,216 @@
+"""Text-analysis operators for the training-data pipeline tier.
+
+Column-expression builders (JVM-side, whole-stage codegen — no Python in
+the hot path) for: tokenization, shingling, MinHash signatures, SimHash,
+language-ID heuristic, quality scoring, token counting, and document
+fingerprinting. Every operator has an exact ANSI-SQL equivalent (see
+queries.py oracles) built on the same deterministic hash so results are
+bit-identical across engines.
+
+Cross-engine hash: the reference keys everything on ``md5(url)``
+(分布式京东商品详情页/mongo_redis_mgr.py:49); we extend that to a shared
+60-bit integer hash ``conv(substr(md5(s),1,15),16,10)`` that DuckDB
+reproduces as ``('0x'||substr(md5(s),1,15))::UBIGINT::BIGINT`` — the
+foundation for MinHash/SimHash parity without any UDF.
+
+Scale notes (100 TB): every function here is a narrow per-row map — no
+shuffle, embarrassingly parallel, scales linearly with input splits. The
+MinHash signature uses ONE md5 per shingle then 64-bit modular arithmetic
+per seed (higher-order array functions), not k md5 passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne-ish reductions keep a_i * h31 + b_i inside signed 64 bits
+# in BOTH engines (DuckDB raises on BIGINT overflow; Java wraps — neither
+# behavior is ever triggered).
+_H31 = 2_147_483_647          # 2^31 - 1
+_P61 = 2_305_843_009_213_693_951  # 2^61 - 1 (prime)
+_A_MUL = 2_654_435_761        # Knuth multiplicative constant
+_B_MUL = 2_246_822_519        # xxhash prime2
+
+
+def hash60(col: Column) -> Column:
+    """Shared deterministic 60-bit hash (md5 prefix), identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash60` over SQL expression ``expr``."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT)"
+
+
+# ---------------------------------------------------------------- tokenizing
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped (matches DuckDB
+    regexp_split + list_filter)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as strings (space-joined)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_band_keys_udf(n_hashes: int = 128, n_bands: int = 32):
+    """Vectorized (Arrow-batched) shingles → LSH band keys.
+
+    The pure-column variant above (minhash_sig_col) is correct but its
+    128-way expression tree is Catalyst-hostile at full width; numpy does the
+    (a_i·h+b_i) mod p sweep in one broadcasted op per doc. Same hash family,
+    same band-key format. Returns a factory-built pandas UDF:
+    array<string> shingles → array<string> of n_bands keys."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = n_hashes // n_bands
+    seeds_list = [(_A_MUL * (i + 1)) & 0xFFFFFFFFFFFFFFFF for i in range(n_hashes)]
+
+    @pandas_udf("array<string>")
+    def band_keys(shingles: pd.Series) -> pd.Series:
+        seeds = np.array(seeds_list, dtype=np.uint64)[:, None]
+        sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+        out = []
+        with np.errstate(over="ignore"):
+            for sh in shingles:
+                if sh is None or len(sh) == 0:
+                    sig = np.full(n_hashes, sentinel, dtype=np.uint64)
+                else:
+                    base = np.array(
+                        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in sh],
+                        dtype=np.uint64,
+                    )[None, :]
+                    # splitmix64 finalizer per (seed, shingle): a real avalanche
+                    # mixer — an affine map mod p barely permutes a 31-bit key
+                    # and leaves all bands order-correlated (measurably loses
+                    # true pairs at j=0.9)
+                    x = base + seeds * np.uint64(0x9E3779B97F4A7C15)
+                    x ^= x >> np.uint64(30)
+                    x *= np.uint64(0xBF58476D1CE4E5B9)
+                    x ^= x >> np.uint64(27)
+                    x *= np.uint64(0x94D049BB133111EB)
+                    x ^= x >> np.uint64(31)
+                    sig = x.min(axis=1)
+                keys = [
+                    hashlib.md5(
+                        (f"{i}," + ",".join(map(str, sig[i * rows_per_band:(i + 1) * rows_per_band])))
+                        .encode()
+                    ).hexdigest()
+                    for i in range(n_bands)
+                ]
+                out.append(keys)
+        return pd.Series(out)
+
+    return band_keys
+
+
+# ------------------------------------------------------------------- simhash
+SIMHASH_BITS = 60  # the shared hash is 60 bits wide
+
+
+def simhash_bit_sums(tok_hash: Column) -> list[Column]:
+    """Per-bit ±1 votes for one token hash (to be summed per document)."""
+    return [
+        (F.shiftright(tok_hash, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_from_sums(sums: list[Column]) -> Column:
+    """Fold per-bit vote sums into the 60-bit SimHash (tie ⇒ bit set)."""
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(sums):
+        out = out + F.when(s >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------- language heuristic
+# stopword marker sets per language; counted via length-difference (the one
+# string primitive every engine implements identically)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " das "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def _count_occurrences(text: Column, pat: str) -> Column:
+    return (F.length(text) - F.length(F.replace(text, F.lit(pat), F.lit("")))) / F.lit(len(pat))
+
+
+def lang_scores_col(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return {
+        lang: sum((_count_occurrences(padded, p) for p in pats), F.lit(0.0)).cast("double")
+        for lang, pats in LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over marker scores; deterministic lang-name tiebreak."""
+    scores = lang_scores_col(text)
+    pairs = [F.struct(c.alias("s"), F.lit(lang).alias("l")) for lang, c in sorted(scores.items())]
+    # greatest struct = highest score, then lexicographically LAST lang;
+    # invert lang for a smallest-name tiebreak is overkill — keep (s, l) max.
+    return F.greatest(*pairs)["l"]
+
+
+# ------------------------------------------------------------- quality score
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: exact integer counts + one ratio
+    derived from them (ratio of ints → bit-identical double everywhere)."""
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ).cast("long")
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_stopwords": n_stop,
+        "n_punct": n_punct,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+# -------------------------------------------------------------- fingerprints
+def fingerprint_cols(text: Column, n: int = 5) -> dict[str, Column]:
+    """Document fingerprint: hash the word n-gram stream, keep min / count /
+    modular sum — an order-invariant rolling-hash digest (winnowing's
+    min-selection step), exactly reproducible in SQL."""
+    grams = word_shingles_col(text, n)
+    hashes = F.transform(grams, hash60)
+    return {
+        "n_shingles": F.size(grams).cast("long"),
+        "fp_min": F.coalesce(F.array_min(hashes), F.lit(0).cast("long")),
+        "fp_sum_mod": F.coalesce(
+            F.aggregate(hashes, F.lit(0).cast("long"), lambda acc, h: acc + h % F.lit(1_000_003)),
+            F.lit(0).cast("long"),
+        )
+        % F.lit(1_000_000_007),
+    }

@@ -1,0 +1,61 @@
+"""Operator correctness vs the DuckDB oracle (SURVEY.md §5.1) at sf0.001.
+
+A fast representative subset runs in CI; the full 38-pair sweep is
+tests/run_oracle_check.py (and the driver runs everything at sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_spark.queries import ORACLES, QUERIES
+from tests.oracle_harness import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# one per operator family: agg, join+topk, window-pop, rolling, scalar/hash,
+# text, minhash dedup, simhash dedup, ANN, multimodal, pagerank
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_topk",
+    "per_host_topk",
+    "rolling_mean_ma5",
+    "relative_date_norm",
+    "md5_ids",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "media_meta",
+    "pagerank_ranks",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(spark, duck, name):
+    rep = compare(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+    assert rep["ok"], {k: v for k, v in rep.items() if k != "first_diffs"} | {
+        "first_diffs": rep.get("first_diffs", [])[:2]
+    }
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without oracles must still run and return sane rows."""
+    df = QUERIES["ann_lsh_topk"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r["rank"] for r in rows} <= {1, 2, 3, 4, 5}
+
+
+def test_registry_contract():
+    assert set(ORACLES) <= set(QUERIES)
+    # every oracle-less query is an explicitly approximate/iterative op
+    assert set(QUERIES) - set(ORACLES) == {"ann_lsh_topk"}
