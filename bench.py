@@ -1,0 +1,102 @@
+"""Headline benchmark (driver contract): run the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The north-star metric (BASELINE.json) is URLs fetched+extracted/sec, so the
+crawl flagship reports its throughput alongside per-query wall times.
+Optional env:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     core count (default 32)
+    BENCH_QUERIES        comma-separated subset override
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spider_spark.session import get_spark  # noqa: E402
+
+
+HEADLINE = [
+    "crawl_docs",            # the flagship: full frontier engine
+    "q1_pricing_summary",
+    "q3_shipping_topk",
+    "q5_nation_revenue",
+    "per_host_topk",
+    "first_wins_dedup",
+    "rolling_mean_ma5",
+    "sessionize",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk",
+    "ann_lsh_topk",
+    "media_meta",
+    "pagerank_ranks",
+]
+
+
+def main() -> None:
+    from spider_spark.queries import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = [
+        n for n in os.environ.get("BENCH_QUERIES", ",".join(HEADLINE)).split(",") if n
+    ]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(
+        app_name="spider_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    # warm the JVM/Arrow paths so the first measured query isn't paying init
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        # noop sink: forces full evaluation of every column — count() lets
+        # column pruning skip the actual work for narrow projections
+        df.write.format("noop").mode("overwrite").save()
+        n_rows = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "crawl_docs":
+            # n_rows = URLs fetched+extracted end-to-end (BASELINE metric)
+            extra["crawl_urls"] = n_rows
+            extra["crawl_urls_per_sec"] = round(n_rows / dt, 2)
+        print(f"# {name}: {dt:.2f}s rows={n_rows}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,10 @@ def crawl(
         if seen is not None:
             new_urls = result.frontier.where(F.col("discovered_round") == rnd)
             tbls["seen_segments"] = seen.merged(new_urls)
+        if cfg.write_coalesce > 0:
+            # repartition, NOT coalesce: coalesce would propagate the tiny
+            # partition count upstream and serialize the whole round
+            tbls = {k: df.repartition(cfg.write_coalesce) for k, df in tbls.items()}
         tables.write_snapshot(workdir, rnd, tbls)
         for df in result.cached:
             df.unpersist()

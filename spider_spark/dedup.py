@@ -18,6 +18,8 @@ standard MinHash practice) bound the blow-up.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,27 +44,45 @@ def exact_dupes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------- n-gram jaccard
 def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(textops.word_shingles_col(F.col(text_col), n)).alias("shingle"),
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), textops.tokens_col(F.col(text_col)).alias("toks")
+    )
+    return toks.select(
+        "doc_id", F.explode(textops.grams_col(F.col("toks"), n)).alias("shingle")
     )
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  restrict_pairs: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs via shingle self-join.
     Returns (a_id, b_id, jaccard). Join key = shingle ⇒ candidate set is
-    docs sharing ≥1 shingle, not the full cross product."""
+    docs sharing ≥1 shingle, not the full cross product.
+
+    restrict_pairs (a_id, b_id): only verify these pairs — the LSH-verify
+    path, where the shingle join runs on the (tiny) candidate doc set."""
     sh = shingle_table(docs, n, id_col, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    sh_j = sh
+    if restrict_pairs is not None:
+        cand_docs = (
+            restrict_pairs.select(F.col("a_id").alias("doc_id"))
+            .unionByName(restrict_pairs.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        # only candidate docs ever need shingles OR sizes — the full corpus
+        # is never exploded on the verify path
+        sh_j = sh.join(cand_docs, "doc_id", "left_semi").persist()
+    sizes = sh_j.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_j.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh_j.select(F.col("doc_id").alias("b_id"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if restrict_pairs is not None:
+        inter = inter.join(restrict_pairs, ["a_id", "b_id"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
     return (
@@ -95,9 +115,16 @@ def minhash_lsh_pairs(
     collisions (the 10^10-doc path: ~n_bands rows per doc, shuffle on
     band_key, never quadratic)."""
     band_udf = textops.minhash_band_keys_udf(n_hashes, n_bands)
-    bands = docs.select(
-        F.col(id_col).alias("doc_id"),
-        band_udf(textops.word_shingles_col(F.col(text_col), n)).alias("bands"),
+    # spread the banding UDF: a small parquet arrives as 1-2 splits, which
+    # would serialize the python workers; hash-repartition first. Shingle
+    # base hashes are computed JVM-side (codegen md5) — the UDF only mixes.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = docs.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), textops.tokens_col(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select("doc_id", textops.grams_col(F.col("toks"), n).alias("grams"))
+    bands = grams.select(
+        "doc_id", band_udf(F.transform("grams", textops.hash60)).alias("bands")
     )
     buckets = bands.select("doc_id", F.explode("bands").alias("band_key")).persist()
     cand = (
@@ -106,9 +133,12 @@ def minhash_lsh_pairs(
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
+        .persist()
     )
-    exact = jaccard_pairs(docs, threshold, n, id_col, text_col)
-    return cand.join(exact, ["a_id", "b_id"]).select("a_id", "b_id", "jaccard")
+    cand.count()  # materialize: the verify plan references cand three times
+    # exact verify ONLY on candidate pairs — the full-corpus shingle join
+    # would redo the work LSH exists to avoid
+    return jaccard_pairs(docs, threshold, n, id_col, text_col, restrict_pairs=cand)
 
 
 # ------------------------------------------------------------------ simhash
@@ -116,18 +146,40 @@ N_SIMHASH_CHUNKS = 4  # hamming ≤ 3 ⇒ ≥1 of 4 chunks identical (pigeonhole
 
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 60-bit sketch over distinct whitespace tokens."""
-    toks = docs.select(
+    """(doc_id, simhash): 60-bit sketch over distinct whitespace tokens.
+
+    Token hashes come from the JVM (codegen md5 → hash60); the ±1 bit-vote
+    fold runs as one numpy pass per doc in an Arrow-batched UDF. The
+    explode + 60-aggregate groupBy formulation computes the identical value
+    (the oracle SQL does exactly that) but pays a shuffle plus 60 CASE
+    aggregates — ~7× slower at sf0.1. Tie (vote sum == 0) sets the bit,
+    matching simhash_from_sums and the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = textops.SIMHASH_BITS
+
+    @pandas_udf("long")
+    def simhash_udf(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(n_bits, dtype=np.uint64)[None, :]
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append((1 << n_bits) - 1)  # all votes tie at 0 ⇒ all bits set
+                continue
+            h = np.asarray(hs, dtype=np.uint64)[:, None]
+            votes = (((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
+            out.append(int(((votes >= 0).astype(np.uint64) << shifts[0]).sum()))
+        return pd.Series(out, dtype="int64")
+
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = docs.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(textops.tokens_col(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", textops.hash60(F.col("tok")))
-    sums = toks.groupBy("doc_id").agg(
-        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(textops.simhash_bit_sums(F.col("h")))]
+        F.array_distinct(textops.tokens_col(F.col(text_col))).alias("toks"),
     )
-    return sums.select(
-        "doc_id",
-        textops.simhash_from_sums([F.col(f"s{i}") for i in range(textops.SIMHASH_BITS)]).alias("simhash"),
-    )
+    hashed = toks.select("doc_id", F.transform("toks", textops.hash60).alias("hs"))
+    return hashed.select("doc_id", simhash_udf(F.col("hs")).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
@@ -180,13 +232,45 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold), exact via self-join.
-    The 10^10-row path swaps the self-join for lsh_topk-style bucketing; this
-    exact form is the oracle-checkable baseline. Returns (a_id, b_id)."""
-    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .where(cosine_col(F.col("_va"), F.col("_vb")) >= threshold)
-        .select("a_id", "b_id")
-    )
+    """Embedding-cosine near-dup pairs (cos ≥ threshold), exact.
+
+    Physical shape: broadcast the (normalized) reference matrix, stream the
+    row side through an Arrow-batched mapInPandas doing one numpy GEMM per
+    batch — the classic broadcast-join trick for dense scoring. A pairwise
+    theta-join (a_id < b_id on cosine_col) plans as a nested loop evaluating
+    the dot product expression 2M times; the GEMM form is ~100× faster and
+    is also the building block the LSH buckets reuse at 10^10 rows (where
+    the broadcast side is one bucket, not the corpus). Returns (a_id, b_id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = vectors.count()
+    if n > 1_000_000:  # broadcast-side guard: beyond this, LSH-bucket first
+        raise ValueError(
+            f"exact pairwise over {n} vectors won't broadcast; use the "
+            "hyperplane-LSH bucketed path (vectorops.lsh_topk shape)"
+        )
+    rows = vectors.select(id_col, vec_col).collect()  # broadcast side
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms[:, None]
+    sc = vectors.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat_n)
+
+    def score(batches):
+        ref_ids, ref = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            cos = (q / qn[:, None]) @ ref.T
+            qa, qb = np.where(cos >= threshold)
+            a = pdf[id_col].to_numpy()[qa]
+            b = ref_ids[qb]
+            keep = a < b
+            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(score, schema="a_id long, b_id long")

@@ -797,10 +797,13 @@ def quality_scores(spark, sf_dir):
     """,
 )
 def doc_fingerprints(spark, sf_dir):
-    """Document fingerprinting: rolling-hash digest over word 5-grams."""
+    """Document fingerprinting: rolling-hash digest over word 5-grams
+    (tokens and grams materialized stepwise — see textops.grams_col)."""
     d = T(spark, sf_dir, "documents")
-    cols = textops.fingerprint_cols(F.col("text"), 5)
-    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("toks"))
+    grams = toks.select("doc_id", textops.grams_col(F.col("toks"), 5).alias("grams"))
+    cols = textops.fingerprint_cols(F.col("grams"))
+    return grams.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
 # =====================================================================
@@ -1061,11 +1064,13 @@ def crawl_docs(spark, sf_dir):
     so even the iterative crawl gets a value-level oracle: depth = BFS
     min-depth, fetched_round = depth + 1."""
     pages, seeds, policy, n = _doc_pages(spark, sf_dir)
+    pages = pages.persist()  # joined every round — don't rebuild the corpus
     workdir = tempfile.mkdtemp(prefix="crawl_docs_")
     summary = crawl(
         spark, workdir, pages, seeds, policy,
-        CrawlConfig(max_rounds=45, use_bloom=False, n_salt=4),
+        CrawlConfig(max_rounds=45, use_bloom=False, n_salt=4, write_coalesce=4),
     )
+    pages.unpersist()
     frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
     return frontier.where(F.col("status") == "done").select(
         F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long").alias("doc_id"),
@@ -1078,10 +1083,12 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
     """Driver smoke: the crawl flagship at sf0.001, capped to 120 docs."""
     sf_dir = "/root/testdata/sf0.001"
     pages, seeds, policy, n = _doc_pages(spark, sf_dir, limit=120)
+    pages = pages.persist()
     workdir = tempfile.mkdtemp(prefix="entry_crawl_")
     summary = crawl(
         spark, workdir, pages, seeds, policy,
-        CrawlConfig(max_rounds=30, use_bloom=True, bloom_buckets=8, n_salt=4),
+        CrawlConfig(max_rounds=30, use_bloom=True, bloom_buckets=8, n_salt=4,
+                    write_coalesce=4),
     )
     frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
     return frontier.select("url", "depth", "status", "discovered_round", "fetched_round")

@@ -61,6 +61,8 @@ class CrawlConfig:
     pagerank_every: int = 0     # 0 = off; reference cadence 1200s (master.py:15)
     pagerank_alpha: float = 0.9  # nx.pagerank(g, 0.9) (master.py:142)
     pagerank_iters: int = 10
+    write_coalesce: int = 0     # >0: coalesce snapshot tables to N files —
+                                # small-corpus regime; leave 0 on a cluster
 
 
 @dataclass
