@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from spider_spark import tables
 from spider_spark.pagerank import apply_priority, pagerank
-from spider_spark.round import CrawlConfig, RoundResult, run_round, seeds_to_frontier
+from spider_spark.round import (
+    CrawlConfig,
+    RoundResult,
+    run_round,
+    seeds_frontier_df,
+    seeds_to_frontier,
+)
 from spider_spark.seen import SeenSet
 
 
@@ -39,7 +45,7 @@ def crawl(
     spark: SparkSession,
     workdir: str | Path,
     pages: DataFrame,
-    seeds: list[tuple[str, int]],
+    seeds: list[tuple[str, int]] | DataFrame,
     policy: DataFrame,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
@@ -49,7 +55,10 @@ def crawl(
 
     start = tables.latest_round(workdir) if resume else None
     if start is None:
-        frontier0 = seeds_to_frontier(spark, seeds)
+        if isinstance(seeds, DataFrame):
+            frontier0 = seeds_frontier_df(seeds)  # distributed seed injection
+        else:
+            frontier0 = seeds_to_frontier(spark, seeds)
         tbls = {"frontier": frontier0}
         seen = SeenSet(cfg.bloom_buckets, cfg.bloom_fpp) if cfg.use_bloom else None
         if seen is not None:

@@ -63,6 +63,15 @@ class CrawlConfig:
     pagerank_iters: int = 10
     write_coalesce: int = 0     # >0: coalesce snapshot tables to N files —
                                 # small-corpus regime; leave 0 on a cluster
+    seq_mode: str = "global"    # "global": dense global discovery rank —
+                                # exact parity with the reference's single
+                                # FIFO frontier (3 extra jobs/round).
+                                # "per_host": rank within host inside the
+                                # main plan — one window, no extra action;
+                                # preserves depth/fetch-round/seen-set
+                                # invariants (cross-host order is a
+                                # single-frontier artifact the scheduler
+                                # never consumes). The 10^10 default.
 
 
 @dataclass
@@ -72,6 +81,33 @@ class RoundResult:
     items: DataFrame
     fetch_log: DataFrame
     cached: list[DataFrame] = field(default_factory=list)  # unpersist after snapshot write
+
+
+def seeds_frontier_df(seeds_df: DataFrame, round_no: int = 0) -> DataFrame:
+    """A10 seed injection from a DataFrame(url, depth) — the 10^10 path.
+
+    The list variant below materializes seeds through the driver (fine for
+    parity fixtures, serial for 10^6+ seeds). Here dedup is a groupBy and
+    the seed ordering is the deterministic (url) order via a balanced
+    global rank — no driver loop anywhere."""
+    agg = seeds_df.groupBy("url").agg(
+        F.min("depth").alias("depth"), F.count(F.lit(1)).alias("inlink_count")
+    )
+    ranked = with_global_rank(agg, ["url"], "discovered_seq")
+    return ranked.select(
+        "url",
+        url_md5_col(F.col("url")).alias("url_md5"),
+        url_hash_col(F.col("url")).alias("url_hash"),
+        host_col(F.col("url")).alias("host"),
+        "depth",
+        F.lit("new").alias("status"),
+        F.lit(round_no).alias("discovered_round"),
+        F.lit(None).cast("int").alias("fetched_round"),
+        "discovered_seq",
+        "inlink_count",
+        F.col("depth").cast("double").alias("priority"),
+        F.lit(0).alias("attempt"),
+    )
 
 
 def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]], round_no: int = 0) -> DataFrame:
@@ -107,20 +143,25 @@ def pop_batch(eligible: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
     ``host_budget < 0`` (parity mode) claims everything — preserves exact
     BFS equivalence with the reference's sort-free dequeue
-    (mongo_redis_mgr.py:31-40)."""
+    (mongo_redis_mgr.py:31-40). Unlimited-budget rows BYPASS the windows:
+    a hot host (the Zipf head owns most of the frontier) would otherwise
+    funnel the whole round through one window task for a top-k that keeps
+    everything anyway — budget enforcement must only cost where budgets
+    bind."""
     budget = F.coalesce(F.col("host_budget"), F.lit(-1))
-    unlimited = budget < 0
+    unlimited = eligible.where(budget < 0)
+    limited = eligible.where(budget >= 0)
 
     salt = F.pmod(F.col("url_hash"), F.lit(cfg.n_salt))
-    w1 = Window.partitionBy("host", salt).orderBy("priority", "discovered_seq")
-    stage1 = eligible.withColumn("_rn1", F.row_number().over(w1)).where(
-        unlimited | (F.col("_rn1") <= budget)
+    w1 = Window.partitionBy("host", salt).orderBy("priority", "discovered_seq", "url")
+    stage1 = limited.withColumn("_rn1", F.row_number().over(w1)).where(
+        F.col("_rn1") <= budget
     )
-    w2 = Window.partitionBy("host").orderBy("priority", "discovered_seq")
+    w2 = Window.partitionBy("host").orderBy("priority", "discovered_seq", "url")
     stage2 = stage1.withColumn("_rn2", F.row_number().over(w2)).where(
-        unlimited | (F.col("_rn2") <= budget)
+        F.col("_rn2") <= budget
     )
-    return stage2.drop("_rn1", "_rn2")
+    return unlimited.unionByName(stage2.drop("_rn1", "_rn2"))
 
 
 def run_round(
@@ -148,18 +189,22 @@ def run_round(
     fetched = claimed.select(
         "url", "url_md5", "depth", "discovered_seq", "attempt", "host"
     ).join(pages.select("url", "html"), "url", "left")
-    fetched = fetched.persist()
 
-    hits = fetched.where(F.col("html").isNotNull())
     html_str = F.decode(F.col("html"), "UTF-8")
 
     # --- extraction: vectorized pandas UDF (C1/C5) + builtin regex (C4) ----
-    parsed = hits.withColumn("p", parse.parse_page_udf(F.col("html"))).withColumn(
-        "links_raw", parse.links_col(html_str)
+    # ONE cached dataset per round, html dropped after extraction: caching
+    # raw html (the widest column) across two materializations doubled both
+    # memory and the downstream cache-scan time
+    parsed = (
+        fetched.withColumn("ok", F.col("html").isNotNull())
+        .withColumn("p", parse.parse_page_udf(F.col("html")))
+        .withColumn("links_raw", F.when(F.col("ok"), parse.links_col(html_str)))
+        .drop("html")
     )
     parsed = parsed.persist()
 
-    items = parsed.select(
+    items = parsed.where(F.col("ok")).select(
         "url",
         "url_md5",
         F.lit(round_no).alias("fetched_round"),
@@ -172,7 +217,7 @@ def run_round(
     )
 
     # --- link discovery → adjacency + frontier candidates (A5/A1) ----------
-    links_out = parsed.select(
+    links_out = parsed.where(F.col("ok")).select(
         F.col("url").alias("src"),
         F.col("depth").alias("parent_depth"),
         F.col("discovered_seq").alias("parent_seq"),
@@ -202,14 +247,25 @@ def run_round(
     else:
         survivors = agg.join(frontier.select("url"), "url", "left_anti")
 
-    ranked = with_global_rank(
-        survivors.select(
-            "url", "cnt", F.col("first.depth").alias("depth"),
-            F.col("first.parent_seq").alias("parent_seq"), F.col("first.pos").alias("pos"),
-        ),
-        ["parent_seq", "pos"],
-        "_rank",
+    new_flat = survivors.select(
+        "url", "cnt", F.col("first.depth").alias("depth"),
+        F.col("first.parent_seq").alias("parent_seq"), F.col("first.pos").alias("pos"),
     )
+    if cfg.seq_mode == "per_host":
+        w_seq = Window.partitionBy(host_col(F.col("url"))).orderBy(
+            "parent_seq", "pos", "url"
+        )
+        ranked = new_flat.withColumn("_rank", F.row_number().over(w_seq).cast("long"))
+    elif cfg.seq_mode == "hash":
+        # no window, no extra pass: deterministic (not dense, not
+        # discovery-ordered) sequence from the url hash. Scheduling only
+        # needs a STABLE order; pop_batch tiebreaks on url so hash
+        # collisions cannot introduce nondeterminism.
+        ranked = new_flat.withColumn(
+            "_rank", F.pmod(F.xxhash64(F.col("url")), F.lit(1 << SEQ_ROUND_SHIFT))
+        )
+    else:
+        ranked = with_global_rank(new_flat, ["parent_seq", "pos"], "_rank")
     new_children = ranked.select(
         "url",
         url_md5_col(F.col("url")).alias("url_md5"),
@@ -226,16 +282,16 @@ def run_round(
     )
 
     # --- frontier MERGE (Iceberg COW analog) --------------------------------
-    status_updates = fetched.select(
+    status_updates = parsed.select(
         "url",
-        F.when(F.col("html").isNotNull(), F.lit("done"))
+        F.when(F.col("ok"), F.lit("done"))
         .when(F.col("attempt") + 1 >= cfg.max_tries, F.lit("failed"))
         .otherwise(F.lit("new"))
         .alias("_status_u"),
-        F.when(F.col("html").isNotNull(), F.lit(round_no))
+        F.when(F.col("ok"), F.lit(round_no))
         .cast("int")
         .alias("_fetched_round_u"),
-        F.when(F.col("html").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("_attempt_d"),
+        F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1)).alias("_attempt_d"),
     ).unionByName(
         denied_df.select(
             "url",
@@ -266,16 +322,18 @@ def run_round(
             (F.col("attempt") + F.coalesce(F.col("_attempt_d"), F.lit(0))).alias("attempt"),
         )
     )
-    frontier_next = updated.unionByName(new_children)
+    # two consumers each round (snapshot write + seen-set merge) — persist
+    # so the MERGE join doesn't run twice
+    frontier_next = updated.unionByName(new_children).persist()
 
     # --- per-partition fetch lineage + counters (north_rule) ----------------
     fetch_log = (
-        fetched.withColumn("partition_id", F.spark_partition_id())
+        parsed.withColumn("partition_id", F.spark_partition_id())
         .groupBy("partition_id", "host")
         .agg(
             F.count(F.lit(1)).alias("n_claimed"),
-            F.count(F.col("html")).alias("n_fetched"),
-            F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("n_missed"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_fetched"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_missed"),
         )
         .select(F.lit(round_no).alias("round"), "partition_id", "host",
                 "n_claimed", "n_fetched", "n_missed")
@@ -283,5 +341,5 @@ def run_round(
 
     return RoundResult(
         frontier=frontier_next, links=links, items=items, fetch_log=fetch_log,
-        cached=[fetched, parsed, agg],
+        cached=[parsed, agg, frontier_next],
     )

@@ -60,6 +60,21 @@ def _set_bits(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> None:
         np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
 
 
+def _apply_counters(arr, h, delta: int, k: int, m: int) -> None:
+    """Byte-wide counters saturating at 15 (4-bit semantics); element-wise
+    loop is duplicate-index-correct. Saturated counters are never
+    decremented — preserves no-false-negative under deletion."""
+    for idx in _positions(h, k, m):
+        if delta > 0:
+            for i in idx:
+                if arr[i] < 15:
+                    arr[i] += 1
+        else:
+            for i in idx:
+                if 0 < arr[i] < 15:
+                    arr[i] -= 1
+
+
 def _test_bits(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> np.ndarray:
     out = np.ones(len(h), dtype=bool)
     for idx in _positions(h, k, m):
@@ -174,6 +189,115 @@ class SeenSet:
             else:
                 arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8)
                 maybe = _test_bits(arr, cand_pdf["url_hash"].to_numpy(), k, m)
+            return pd.DataFrame({"url": cand_pdf["url"], "maybe": maybe})
+
+        marks = (
+            self._bucketed(candidates)
+            .groupby("bucket")
+            .cogroup(self.segments.groupby("bucket"))
+            .applyInPandas(probe, schema="url string, maybe boolean")
+        )
+        joined = candidates.join(marks, "url", "left")
+        maybe_seen = joined.where(F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
+        definitely_new = joined.where(~F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
+        return maybe_seen, definitely_new
+
+
+class CuckooSeen(SeenSet):
+    """Deletion-capable seen-set segments (north_rule's cuckoo fallback).
+
+    Same table contract and double-hashed positions as the Bloom variant,
+    but each position holds a 4-bit saturating counter instead of a bit —
+    i.e. a counting filter, the simplest of the cuckoo/counting family that
+    supports ``remove()`` (frontier-eviction workflows: dropping a site,
+    revoking robots consent). add = increment (saturate at 15; saturated
+    counters are never decremented, preserving no-false-negative),
+    remove = decrement, membership = all counters non-zero. 4 bits/counter
+    ⇒ segments are 4× the Bloom bytes for the same fpp — the reason Bloom
+    stays the default for the pure-crawl path that never deletes.
+    """
+
+    def _counters(self, seg_pdf: pd.DataFrame) -> np.ndarray:
+        if len(seg_pdf):
+            return np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
+        return np.zeros(self.m, dtype=np.uint8)  # one byte per counter slot
+
+    def _segment_op(self, rows: DataFrame, delta: int) -> DataFrame:
+        assert self.segments is not None, "load/build first"
+        m, k = self.m, self.k
+        apply_fn = _apply_counters  # module fn: a bound method would drag
+        # self (and its segments DataFrame → SparkContext) into the closure
+
+        def op(key, new_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = (
+                np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
+                if len(seg_pdf) else np.zeros(m, dtype=np.uint8)
+            )
+            n = int(seg_pdf["n_items"].iloc[0]) if len(seg_pdf) else 0
+            if len(new_pdf):
+                apply_fn(arr, new_pdf["url_hash"].to_numpy(), delta, k, m)
+            return pd.DataFrame(
+                {"bucket": [int(key[0])], "filter": [arr.tobytes()],
+                 "n_items": [max(0, n + delta * len(new_pdf))]}
+            )
+
+        seg = (
+            self._bucketed(rows)
+            .groupby("bucket")
+            .cogroup(self.segments.groupby("bucket"))
+            .applyInPandas(op, schema="bucket int, filter binary, n_items long")
+        )
+        untouched = self.segments.join(
+            self._bucketed(rows).select("bucket").distinct(), "bucket", "left_anti"
+        )
+        out = seg.unionByName(untouched)
+        self.segments = out
+        return out
+
+    def build(self, frontier: DataFrame) -> DataFrame:
+        m, k = self.m, self.k
+        apply_fn = _apply_counters
+
+        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros(m, dtype=np.uint8)
+            apply_fn(arr, pdf["url_hash"].to_numpy(), 1, k, m)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [arr.tobytes()],
+                 "n_items": [len(pdf)]}
+            )
+
+        seg = (
+            self._bucketed(frontier)
+            .groupBy("bucket")
+            .applyInPandas(make, schema="bucket int, filter binary, n_items long")
+        )
+        self.segments = seg
+        return seg
+
+    def merged(self, new_rows: DataFrame) -> DataFrame:
+        return self._segment_op(new_rows, +1)
+
+    def removed(self, rows: DataFrame) -> DataFrame:
+        """Delete urls from the seen set — the operation Bloom cannot do."""
+        return self._segment_op(rows, -1)
+
+    def split(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
+        assert self.segments is not None, "load/build first"
+        m, k = self.m, self.k
+
+        def probe(key, cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand_pdf):
+                return pd.DataFrame({"url": [], "maybe": []}).astype(
+                    {"url": str, "maybe": bool}
+                )
+            if not len(seg_pdf):
+                maybe = np.zeros(len(cand_pdf), dtype=bool)
+            else:
+                arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8)
+                maybe = np.ones(len(cand_pdf), dtype=bool)
+                h = cand_pdf["url_hash"].to_numpy()
+                for idx in _positions(h, k, m):
+                    maybe &= arr[idx] > 0
             return pd.DataFrame({"url": cand_pdf["url"], "maybe": maybe})
 
         marks = (

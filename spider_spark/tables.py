@@ -43,9 +43,17 @@ def write_snapshot(
 ) -> None:
     rdir = _round_dir(workdir, round_no)
     counts = {}
-    for name, df in tables.items():
-        path = str(rdir / name)
-        df.write.mode("overwrite").parquet(path)
+    # concurrent writes: each table write is a separate Spark job whose
+    # scheduling latency would otherwise serialize; the manifest below is
+    # still the single commit point, so atomicity is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(item):
+        name, df = item
+        df.write.mode("overwrite").parquet(str(rdir / name))
+
+    with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
+        list(pool.map(write_one, tables.items()))
     manifest = {"round": round_no, "tables": sorted(tables), "counts": counts,
                 "stats": stats or {}}
     tmp = rdir / "manifest.json.tmp"
