@@ -1,0 +1,120 @@
+"""Structured Streaming facade over the batch-iterative round engine.
+
+The reference's one genuinely streaming source is the mitmproxy intercept
+hook (抖音/抖音.py:21-58: pages *arrive* continuously and are parsed as they
+land — SURVEY.md §2 B11). The Spark-native shape: ``readStream`` on the
+landing directory → ``foreachBatch`` running the SAME round logic each
+micro-batch (one micro-batch == one crawl round against the corpus
+accumulated so far). Batch and streaming share every operator; only the
+trigger differs — exactly the Dataset/DataFrame unification argument.
+
+``Trigger.AvailableNow`` drains a directory and stops (tests, backfill);
+a processing-time trigger gives the reference's polling loop
+(qcc.py:110-122) without the sleep().
+
+``host_fetch_rates`` shows the watermark + event-time window side:
+late-arriving pages (by ``warc_ts``) are folded into per-host per-minute
+fetch counts until the watermark closes the window.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_spark import tables
+from spider_spark.crawl import crawl
+from spider_spark.round import CrawlConfig
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def stream_crawl(
+    spark: SparkSession,
+    ingest_dir: str | Path,
+    workdir: str | Path,
+    seeds: list[tuple[str, int]],
+    policy: DataFrame,
+    cfg: CrawlConfig | None = None,
+    rounds_per_batch: int = 1,
+    available_now: bool = True,
+):
+    """Crawl pages as they land in ``ingest_dir`` (parquet files).
+
+    Each micro-batch appends the newly-arrived pages to the corpus
+    accumulated under ``workdir/corpus`` and advances the frontier by
+    ``rounds_per_batch`` rounds via the ordinary snapshot/resume path —
+    a crash mid-stream resumes from the last committed snapshot exactly
+    like the batch engine (checkpointLocation covers the source offsets).
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    cfg = cfg or CrawlConfig()
+    workdir = Path(workdir)
+    corpus_dir = workdir / "corpus"
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(str(ingest_dir))
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("url", "html").write.mode("append").parquet(str(corpus_dir))
+        pages = batch_df.sparkSession.read.parquet(str(corpus_dir))
+        resume = tables.latest_round(workdir) is not None
+        from dataclasses import replace
+
+        prev = tables.latest_round(workdir) or 0
+        crawl(
+            batch_df.sparkSession, workdir, pages, seeds, policy,
+            replace(cfg, max_rounds=prev + rounds_per_batch),
+            resume=resume,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", str(workdir / "_stream_checkpoint"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def host_fetch_rates(
+    spark: SparkSession,
+    ingest_dir: str | Path,
+    watermark: str = "10 minutes",
+    window_len: str = "1 minute",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Event-time per-host fetch-rate stream with late-data handling.
+
+    The reference has no watermarks anywhere (SURVEY.md §2.G) — its
+    20-minute reorder cycle is a processing-time loop. This is the
+    event-time version: pages counted into ``window(warc_ts)`` buckets per
+    host; rows later than the watermark are dropped once the window closes.
+    Returns an unstarted streaming DataFrame; sink it with writeStream.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(ingest_dir))
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window_len).alias("w"),
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_fetched"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_fetched",
+        )
+    )

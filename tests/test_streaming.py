@@ -1,0 +1,79 @@
+"""Streaming facade: micro-batch rounds over a landing directory, and the
+event-time windowed aggregation with watermark."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spider_spark import corpus, streaming, tables
+from spider_spark.round import CrawlConfig
+
+
+def _write_pages_batch(spark, pages_pd, lo, hi, dest):
+    part = pages_pd.iloc[lo:hi][["url", "warc_ts", "html"]]
+    spark.createDataFrame(part).write.mode("append").parquet(str(dest))
+
+
+def test_stream_crawl_drains_directory(spark, tmp_path):
+    pages_pd = corpus.make_pages(n_pages=80, n_hosts=6, seed=42)
+    seeds_pd = corpus.make_seeds(pages_pd, n_seeds=3, include_missing=False)
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    seeds = list(zip(seeds_pd["url"], seeds_pd["depth"]))
+
+    ingest = tmp_path / "ingest"
+    wd = tmp_path / "wd"
+    _write_pages_batch(spark, pages_pd, 0, 40, ingest)
+    _write_pages_batch(spark, pages_pd, 40, 80, ingest)
+
+    q = streaming.stream_crawl(
+        spark, ingest, wd, seeds, policy,
+        CrawlConfig(max_depth=3, use_bloom=False, write_coalesce=2),
+        rounds_per_batch=3,
+    )
+    q.awaitTermination(300)
+
+    last = tables.latest_round(wd)
+    assert last and last >= 3
+    frontier = tables.read_table(spark, wd, last, "frontier")
+    by_status = dict(frontier.groupBy("status").count().collect())
+    assert by_status.get("done", 0) > 0
+    # second batch added corpus pages → fewer missing fetches than batch 1 alone
+    items = tables.read_appended(spark, wd, "items")
+    assert items.count() == by_status.get("done", 0)
+
+
+def test_host_fetch_rates_watermark(spark, tmp_path):
+    pages_pd = corpus.make_pages(n_pages=60, n_hosts=5, seed=7)
+    pages_pd = pages_pd.sort_values("warc_ts").reset_index(drop=True)
+    ingest = tmp_path / "ingest2"
+    for lo in range(0, 60, 15):
+        spark.createDataFrame(
+            pages_pd.iloc[lo:lo + 15][["url", "warc_ts", "html"]].copy()
+        ).coalesce(1).write.mode("append").parquet(str(ingest))
+
+    out = tmp_path / "rates_out"
+    # corpus timestamps span ~60s; 10s windows + zero-delay watermark, with
+    # one file per micro-batch so the watermark advances BETWEEN batches and
+    # closes earlier windows (append mode emits only closed windows)
+    df = streaming.host_fetch_rates(
+        spark, ingest, watermark="0 seconds", window_len="10 seconds",
+        max_files_per_trigger=1,
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(out))
+    # append mode emits only watermark-closed windows; with AvailableNow the
+    # final watermark closes all but the trailing window
+    assert got.count() > 0
+    total = got.agg(F.sum("n_fetched")).collect()[0][0]
+    assert total <= 60
+    assert {r.host for r in got.select("host").distinct().collect()} <= {
+        u.split("/")[2].lower() for u in pages_pd["url"]
+    }
