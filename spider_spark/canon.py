@@ -21,12 +21,23 @@ the engine.
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urlsplit
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 XXHASH_SEED = 42  # F.xxhash64 default seed
+
+# Mirror of java.net.URI's strictness the JVM side applies (Spark's
+# try_parse_url → NULL on malformed): a stray % without two hex digits is
+# the common crawl-wild case. Both sides must agree on "unparseable ⇒ fall
+# back to the raw string" or engine and parity model drift.
+_BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
+def _parseable(url: str) -> bool:
+    return not _BAD_ESCAPE.search(url)
 
 
 # ---------------------------------------------------------------- pure python
@@ -38,7 +49,11 @@ def normalize_href(href: str, scheme: str = "https") -> str:
 
 
 def canonicalize(url: str) -> str:
-    """Lowercase scheme+host, strip fragment, drop default port."""
+    """Lowercase scheme+host, strip fragment, drop default port.
+    Unparseable URLs (malformed escapes — try_parse_url returns NULL for
+    them JVM-side) pass through raw."""
+    if not _parseable(url):
+        return url
     try:
         p = urlsplit(url)
     except ValueError:
@@ -58,6 +73,8 @@ def canonicalize(url: str) -> str:
 
 
 def host_of(url: str) -> str | None:
+    if not _parseable(url):
+        return None
     try:
         h = urlsplit(url).hostname
         return h.lower() if h else None
@@ -77,16 +94,19 @@ def normalize_href_col(col: Column, scheme: str = "https") -> Column:
 
 
 def canonical_col(url: Column) -> Column:
-    """Column-expression canonicalization — stays in whole-stage codegen."""
-    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    """Column-expression canonicalization — stays in whole-stage codegen.
+    try_parse_url, NOT parse_url: Spark 4's parse_url THROWS on malformed
+    escapes, so one bad discovered href would fail the whole round
+    (hypothesis-found; crawl-wild URLs make this a certainty at scale)."""
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
     auth = F.when(
         (proto == "http") & auth.endswith(":80"), F.regexp_replace(auth, ":80$", "")
     ).when(
         (proto == "https") & auth.endswith(":443"), F.regexp_replace(auth, ":443$", "")
     ).otherwise(auth)
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
-    query = F.parse_url(url, F.lit("QUERY"))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
     base = F.concat(proto, F.lit("://"), auth, path)
     out = F.when(query.isNotNull(), F.concat(base, F.lit("?"), query)).otherwise(base)
     # malformed URLs pass through raw, matching canonicalize()
@@ -94,7 +114,7 @@ def canonical_col(url: Column) -> Column:
 
 
 def host_col(url: Column) -> Column:
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def url_hash_col(url: Column) -> Column:

@@ -693,6 +693,155 @@ def url_normalize(spark, sf_dir):
     )
 
 
+@q(
+    "robots_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             '/' || (CASE WHEN doc_id % 3 = 0 THEN 'private' ELSE 'p' END)
+                 || '/' || doc_id AS path
+      FROM documents)
+    SELECT doc_id, path,
+           CASE WHEN path LIKE '/private%' THEN 'denied' ELSE 'allowed' END AS verdict
+    FROM u
+    """,
+)
+def robots_filter(spark, sf_dir):
+    """A13: robots allow/deny prefix filter — the same F.exists prefix test
+    run_round applies against the broadcast host_policy, on synthetic paths."""
+    d = T(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("private")).otherwise(F.lit("p")),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    deny = F.array(F.lit("/private"))
+    u = d.select("doc_id", path.alias("path"))
+    denied = F.exists(deny, lambda p: F.col("path").startswith(p))
+    return u.select(
+        "doc_id", "path",
+        F.when(denied, F.lit("denied")).otherwise(F.lit("allowed")).alias("verdict"),
+    )
+
+
+@q(
+    "pagination_explode",
+    """
+    SELECT doc_id,
+           'https://' || lower(source) || '.example.com/list?page=' || p AS page_url
+    FROM documents, LATERAL unnest(generate_series(1, (doc_id % 5) + 1)) t(p)
+    """,
+)
+def pagination_explode(spark, sf_dir):
+    """B5: page-number pagination = URL synthesis via sequence + explode
+    (scrapyseleniumtest taobao.py:13-17's page loop, declaratively)."""
+    d = T(spark, sf_dir, "documents")
+    pages = F.explode(F.sequence(F.lit(1), (F.col("doc_id") % 5 + 1).cast("int")))
+    return d.select("doc_id", "source", pages.alias("p")).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.lower("source"), F.lit(".example.com/list?page="),
+            F.col("p").cast("string"),
+        ).alias("page_url"),
+    )
+
+
+@q(
+    "retry_budget",
+    """
+    SELECT event_id,
+           CASE WHEN event_type != 'error' THEN 'done'
+                WHEN (event_id % 3) + 1 >= 2 THEN 'failed'
+                ELSE 'new' END AS status,
+           CASE WHEN event_type = 'error' THEN (event_id % 3) + 1 ELSE 0 END AS attempt
+    FROM events
+    """,
+)
+def retry_budget(spark, sf_dir):
+    """B6: retry-then-fail routing (MAX_PAGE_TRIED=2, client_crawler.py:362)
+    — the same when-chain run_round uses for status updates."""
+    ev = T(spark, sf_dir, "events")
+    attempt = (F.col("event_id") % 3) + 1
+    is_err = F.col("event_type") == "error"
+    return ev.select(
+        "event_id",
+        F.when(~is_err, F.lit("done"))
+        .when(attempt >= 2, F.lit("failed"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.when(is_err, attempt).otherwise(F.lit(0)).cast("long").alias("attempt"),
+    )
+
+
+@q(
+    "coalesce_best_of",
+    """
+    SELECT user_id,
+           round(coalesce(
+             max(value) FILTER (WHERE event_type = 'purchase'),
+             max(value) FILTER (WHERE event_type = 'click'),
+             max(value) FILTER (WHERE event_type = 'view'),
+             0.0), 6) AS best_value
+    FROM events GROUP BY user_id
+    """,
+)
+def coalesce_best_of(spark, sf_dir):
+    """F6: best-of-N source coalesce (Kline_analyze.py:88-110 okex→binance→
+    huobi fallback) as conditional aggregates + coalesce."""
+    ev = T(spark, sf_dir, "events")
+    pick = lambda t: F.max(F.when(F.col("event_type") == t, F.col("value")))  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(pick("purchase"), pick("click"), pick("view"), F.lit(0.0)), 6
+        ).alias("best_value")
+    )
+
+
+@q(
+    "orderbook_pick",
+    """
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS w
+               FROM documents)
+    SELECT doc_id, w[1] AS best_bid, w[-1] AS best_ask, len(w)::INT AS depth
+    FROM t
+    """,
+)
+def orderbook_pick(spark, sf_dir):
+    """F7: order-book head/tail pick (get_market_info.py:38-44: bids[0],
+    asks[-1]) — element_at ±1 over an array column."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("w"))
+    return toks.select(
+        "doc_id",
+        F.try_element_at(F.col("w"), F.lit(1)).alias("best_bid"),
+        F.try_element_at(F.col("w"), F.lit(-1)).alias("best_ask"),
+        F.size("w").alias("depth"),
+    )
+
+
+@q(
+    "list_projection",
+    """
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS w
+               FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(w[1:5], x -> upper(x)), ',') AS head_upper,
+           len(list_filter(w, x -> length(x) > 4))::INT AS n_long
+    FROM t
+    """,
+)
+def list_projection(spark, sf_dir):
+    """C13: list comprehension projections (weibo/pipelines.py:46
+    ``[pic['url'] for pic in pictures]``) as higher-order array functions."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("w"))
+    return toks.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.slice("w", 1, 5), lambda x: F.upper(x))).alias("head_upper"),
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long"),
+    )
+
+
 # =====================================================================
 # Text analysis (training-data tier) over documents
 # =====================================================================

