@@ -138,6 +138,21 @@ def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]], round_n
     )
 
 
+def budget_from_delay(policy: DataFrame, round_duration: float) -> DataFrame:
+    """A12: derive per-host budgets from crawl delays —
+    ``host_budget = floor(round_duration / crawl_delay)`` (SURVEY.md §2 A12).
+    The reference rate-limits per worker with fixed sleeps
+    (client_crawler.py:84,253); per-host budgets are the cluster-correct
+    form: cluster-wide rate = Σ budgets per round. Hosts with an explicit
+    non-negative budget keep it."""
+    derived = F.floor(F.lit(round_duration) / F.col("crawl_delay")).cast("int")
+    return policy.withColumn(
+        "host_budget",
+        F.when(F.coalesce(F.col("host_budget"), F.lit(-1)) >= 0, F.col("host_budget"))
+        .otherwise(derived),
+    )
+
+
 def pop_batch(eligible: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """A2/A12: per-host budgeted priority pop, salt-staged against skew.
 

@@ -29,6 +29,7 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 APPEND_TABLES = ("links", "items", "fetch_log")
 
@@ -75,6 +76,20 @@ def latest_round(workdir: str | Path) -> int | None:
 
 def read_table(spark: SparkSession, workdir: str | Path, round_no: int, name: str) -> DataFrame:
     return spark.read.parquet(str(_round_dir(workdir, round_no) / name))
+
+
+def read_items_latest(spark: SparkSession, workdir: str | Path) -> DataFrame | None:
+    """D2 keyed-upsert view over the append-only items table: latest row per
+    url_md5 (the reference upserts by id — weibo/pipelines.py:71-73; our
+    append+latest-wins read gives the same answer with append-only writes,
+    i.e. a merge-on-read MERGE)."""
+    from pyspark.sql.window import Window
+
+    items = read_appended(spark, workdir, "items")
+    if items is None:
+        return None
+    w = Window.partitionBy("url_md5").orderBy(F.desc("fetched_round"))
+    return items.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
 def read_appended(spark: SparkSession, workdir: str | Path, name: str,
