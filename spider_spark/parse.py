@@ -136,3 +136,31 @@ def links_col(html_str: Column) -> Column:
 
 def jd_links_col(html_str: Column) -> Column:
     return F.regexp_extract_all(html_str, F.lit(JD_ITEM_PATTERN), 0)
+
+
+# --------------------------------------------------------- JSON field maps
+# weibo user projection (weibo/spiders/weibocn.py:31-43): the reference's
+# field_map dict rename-projects 12 fields off the mobile-API JSON. Schema +
+# select — from_json stays fully JVM-side (C7).
+WEIBO_USER_SCHEMA = (
+    "id long, screen_name string, profile_image_url string, profile_url string, "
+    "verified boolean, description string, gender string, "
+    "followers_count long, follow_count long, statuses_count long"
+)
+WEIBO_FIELD_MAP = {  # api field → item field, as the reference renames them
+    "id": "uid",
+    "screen_name": "nickname",
+    "profile_image_url": "avatar",
+    "verified": "verified",
+    "description": "description",
+    "gender": "gender",
+    "followers_count": "fans",
+    "follow_count": "follows",
+    "statuses_count": "weibos",
+}
+
+
+def project_weibo_user(json_col: Column) -> list[Column]:
+    """field_map projection: parse once, alias per the reference's map."""
+    p = F.from_json(json_col, WEIBO_USER_SCHEMA)
+    return [p[src].alias(dst) for src, dst in WEIBO_FIELD_MAP.items()]

@@ -49,6 +49,15 @@ def promote(pool: DataFrame, ok: DataFrame) -> DataFrame:
     )
 
 
+def refill(pool: DataFrame, source: DataFrame, cap: int) -> DataFrame:
+    """E7 (getter.py:12-30): stop refilling when the pool is at capacity;
+    otherwise add() from the source crawlers, truncating to the cap."""
+    n = pool.count()
+    if n >= cap:
+        return pool
+    return add(pool, source.limit(cap - n))
+
+
 def top_batch(pool: DataFrame, start: int, stop: int) -> DataFrame:
     """E5 (db.py:78-86): ranked range scan [start, stop) by descending score
     (proxy asc tiebreak — zset lexicographic order analog)."""

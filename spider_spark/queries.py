@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spider_spark import dedup, kline, media, pool, textops, vectorops
+from spider_spark import dedup, kline, media, parse, pool, textops, vectorops
 from spider_spark.canon import canonical_col, host_col
 from spider_spark.crawl import crawl
 from spider_spark.pagerank import pagerank
@@ -609,6 +609,44 @@ def json_projection(spark, sf_dir):
         F.col("p.k").alias("k"),
         F.when(F.col("p.k") >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("bucket"),
     )
+
+
+@q(
+    "weibo_field_map",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"id": ' || user_id || ', "screen_name": "u' || user_id
+               || '", "verified": ' || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END
+               || ', "followers_count": ' || (event_id % 1000)
+               || ', "statuses_count": ' || (event_id % 500) || '}' AS payload
+      FROM events)
+    SELECT event_id,
+           CAST(payload->>'id' AS BIGINT) AS uid,
+           payload->>'screen_name' AS nickname,
+           CAST(payload->>'verified' AS BOOLEAN) AS verified,
+           CAST(payload->>'followers_count' AS BIGINT) AS fans,
+           CAST(payload->>'statuses_count' AS BIGINT) AS weibos
+    FROM j
+    """,
+)
+def weibo_field_map(spark, sf_dir):
+    """C7 at full depth: the weibo user field_map projection
+    (weibo/spiders/weibocn.py:31-43) — from_json + rename-select over JSON
+    synthesized identically on both engines."""
+    ev = T(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"id": '), F.col("user_id").cast("string"),
+        F.lit(', "screen_name": "u'), F.col("user_id").cast("string"),
+        F.lit('", "verified": '),
+        F.when(F.col("user_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(', "followers_count": '), (F.col("event_id") % 1000).cast("string"),
+        F.lit(', "statuses_count": '), (F.col("event_id") % 500).cast("string"),
+        F.lit("}"),
+    )
+    j = ev.select("event_id", payload.alias("payload"))
+    projected = j.select("event_id", *parse.project_weibo_user(F.col("payload")))
+    return projected.select("event_id", "uid", "nickname", "verified", "fans", "weibos")
 
 
 @q(

@@ -147,6 +147,28 @@ def hamming_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def transliterate_udf():
+    """C12: pinyin transliteration (Meituan/spiders/meituan.py:42 builds
+    city URLs from ``''.join(lazy_pinyin(city))``). pypinyin is not in this
+    container, so the UDF is import-gated: the Spark plumbing (signature,
+    vectorized shape) is real; installing pypinyin lights it up."""
+    try:
+        from pypinyin import lazy_pinyin  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "pypinyin not installed in this environment; "
+            "pip install pypinyin enables transliterate_udf"
+        ) from exc
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def transliterate(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: "".join(lazy_pinyin(x)) if x is not None else None)
+
+    return transliterate
+
+
 # --------------------------------------------------------- language heuristic
 # stopword marker sets per language; counted via length-difference (the one
 # string primitive every engine implements identically)

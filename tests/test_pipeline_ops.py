@@ -121,3 +121,22 @@ def test_simhash_blocking_equals_quadratic(spark, docs):
         .collect()
     }
     assert blocked == brute
+
+
+def test_pool_refill_caps(spark):
+    p0 = spark.createDataFrame([("1.1.1.1:80", 50)], "proxy string, score int")
+    src = spark.createDataFrame(
+        [(f"2.2.2.{i}:80",) for i in range(10)], "proxy string"
+    )
+    out = pool.refill(p0, src, cap=4)
+    assert out.count() == 4
+    full = pool.refill(out, src, cap=4)
+    assert full.count() == 4  # at capacity: no-op
+
+
+def test_transliterate_is_import_gated(spark):
+    from spider_spark import textops
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="pypinyin"):
+        textops.transliterate_udf()
