@@ -93,6 +93,13 @@ def crawl(
         result: RoundResult = run_round(
             spark, frontier, pages, policy, rnd, cfg, seen_prefilter=seen_prefilter
         )
+        if cfg.backoff_factor > 1.0:
+            # B7: blocked hosts get slower budgets next round
+            from spider_spark.round import policy_backoff
+
+            policy = policy_backoff(
+                policy, result.fetch_log, factor=cfg.backoff_factor
+            ).localCheckpoint(eager=False)
         tbls = {
             "frontier": result.frontier,
             "links": result.links,

@@ -138,6 +138,36 @@ def jd_links_col(html_str: Column) -> Column:
     return F.regexp_extract_all(html_str, F.lit(JD_ITEM_PATTERN), 0)
 
 
+def xpath_extractor_udf(xpath: str):
+    """C1/C2: real-lxml XPath extraction (qcc.py:41-59's
+    ``contains(text(),…)/following-sibling::td[1]`` family). lxml is not in
+    this container, so the UDF is import-gated — the regex parsers above
+    carry the parity surface here; with lxml installed this becomes the
+    byte-exact reference path (pin the lxml version, SURVEY.md §7 risk (a))."""
+    try:
+        from lxml import etree  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "lxml not installed in this environment; pip install lxml "
+            "enables xpath_extractor_udf"
+        ) from exc
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def extract(html: pd.Series) -> pd.Series:
+        def one(raw):
+            if raw is None:
+                return None
+            doc = etree.HTML(raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw)
+            hits = doc.xpath(xpath) if doc is not None else []
+            return str(hits[0]) if hits else None
+
+        return html.map(one)
+
+    return extract
+
+
 # --------------------------------------------------------- JSON field maps
 # weibo user projection (weibo/spiders/weibocn.py:31-43): the reference's
 # field_map dict rename-projects 12 fields off the mobile-API JSON. Schema +

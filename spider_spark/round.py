@@ -63,6 +63,8 @@ class CrawlConfig:
     pagerank_iters: int = 10
     write_coalesce: int = 0     # >0: coalesce snapshot tables to N files —
                                 # small-corpus regime; leave 0 on a cluster
+    backoff_factor: float = 1.0  # >1: B7 host backoff (policy_backoff) after
+                                 # each round for hosts with >50% misses
     seq_mode: str = "global"    # "global": dense global discovery rank —
                                 # exact parity with the reference's single
                                 # FIFO frontier (3 extra jobs/round).
@@ -135,6 +137,42 @@ def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]], round_n
         "inlink_count",
         F.col("depth").cast("double").alias("priority"),
         F.lit(0).alias("attempt"),
+    )
+
+
+def policy_backoff(
+    policy: DataFrame,
+    fetch_log: DataFrame,
+    miss_threshold: float = 0.5,
+    factor: float = 2.0,
+) -> DataFrame:
+    """B7: host-level backoff (qcc.py:92-93 sleeps 120 s when a page comes
+    back blocked). Per-host, when this round's miss rate exceeds the
+    threshold: crawl_delay ×= factor and any finite host_budget is divided
+    by it (floored at 1) — so the next round claims less from hosts that
+    are refusing us."""
+    rates = (
+        fetch_log.groupBy("host")
+        .agg(
+            (F.sum("n_missed") / F.sum("n_claimed")).alias("_miss_rate"),
+        )
+        .where(F.col("_miss_rate") > miss_threshold)
+        .select("host", F.lit(True).alias("_backoff"))
+    )
+    return (
+        policy.join(rates, "host", "left")
+        .withColumn(
+            "crawl_delay",
+            F.when(F.col("_backoff"), F.col("crawl_delay") * factor).otherwise(F.col("crawl_delay")),
+        )
+        .withColumn(
+            "host_budget",
+            F.when(
+                F.col("_backoff") & (F.coalesce(F.col("host_budget"), F.lit(-1)) > 0),
+                F.greatest(F.floor(F.col("host_budget") / factor).cast("int"), F.lit(1)),
+            ).otherwise(F.col("host_budget")),
+        )
+        .drop("_backoff")
     )
 
 

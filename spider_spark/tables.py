@@ -78,6 +78,13 @@ def read_table(spark: SparkSession, workdir: str | Path, round_no: int, name: st
     return spark.read.parquet(str(_round_dir(workdir, round_no) / name))
 
 
+def write_jsonl(df: DataFrame, path: str | Path) -> None:
+    """D7: JSON-lines sink (Meituan/pipelines.py:13-24 appends
+    ``json.dumps(item, ensure_ascii=False)`` per line) — Spark's json
+    writer emits exactly one JSON object per line."""
+    df.write.mode("overwrite").option("ignoreNullFields", "false").json(str(path))
+
+
 def read_items_latest(spark: SparkSession, workdir: str | Path) -> DataFrame | None:
     """D2 keyed-upsert view over the append-only items table: latest row per
     url_md5 (the reference upserts by id — weibo/pipelines.py:71-73; our

@@ -98,3 +98,60 @@ def test_items_latest_upsert_view(spark, fixture, tmp_path):
     latest = read_items_latest(spark, tmp_path / "wd")
     assert latest is not None
     assert latest.count() == latest.select("url_md5").distinct().count()
+
+
+def test_policy_backoff_blocked_hosts(spark):
+    from spider_spark.round import policy_backoff
+
+    policy = spark.createDataFrame(
+        [("good.com", 5.0, ["/"], [], 8), ("blocked.com", 5.0, ["/"], [], 8)],
+        "host string, crawl_delay double, robots_allow array<string>, "
+        "robots_deny array<string>, host_budget int",
+    )
+    fl = spark.createDataFrame(
+        [(1, 0, "good.com", 10, 10, 0), (1, 0, "blocked.com", 10, 2, 8)],
+        "round int, partition_id int, host string, n_claimed long, n_fetched long, n_missed long",
+    )
+    out = {r["host"]: (r["crawl_delay"], r["host_budget"])
+           for r in policy_backoff(policy, fl, factor=2.0).collect()}
+    assert out["good.com"] == (5.0, 8)
+    assert out["blocked.com"] == (10.0, 4)
+
+
+def test_backoff_in_crawl_reduces_claims(spark, fixture, tmp_path):
+    """End-to-end B7: a crawl with backoff on still converges and the
+    miss-heavy dangling host's budget shrinks."""
+    pages_pd, pages, seeds = fixture
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd, host_budget=50))
+    s = crawl(spark, tmp_path / "wd", pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=8, backoff_factor=2.0))
+    assert s.n_done > 0
+
+
+def test_empty_seed_list(spark, fixture, tmp_path):
+    pages_pd, pages, _ = fixture
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    s = crawl(spark, tmp_path / "wd", pages, [], policy, CrawlConfig(max_rounds=5))
+    assert s.rounds_run == 0 and s.n_urls == 0
+
+
+def test_write_jsonl_one_object_per_line(spark, tmp_path):
+    import json as _json
+    from pathlib import Path as _P
+
+    from spider_spark.tables import write_jsonl
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    write_jsonl(df.repartition(1), tmp_path / "out")
+    lines = []
+    for f in _P(tmp_path / "out").glob("part-*"):
+        lines += [l for l in f.read_text().splitlines() if l]
+    rows = sorted((_json.loads(l) for l in lines), key=lambda r: r["id"])
+    assert rows == [{"id": 1, "v": "a"}, {"id": 2, "v": None}]
+
+
+def test_xpath_extractor_is_import_gated(spark):
+    from spider_spark import parse as _parse
+
+    with pytest.raises(NotImplementedError, match="lxml"):
+        _parse.xpath_extractor_udf("//title/text()")
