@@ -1255,7 +1255,8 @@ def crawl_docs(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="crawl_docs_")
     summary = crawl(
         spark, workdir, pages, seeds, policy,
-        CrawlConfig(max_rounds=45, use_bloom=False, n_salt=4, write_coalesce=4),
+        CrawlConfig(max_rounds=45, use_bloom=False, n_salt=4, write_coalesce=4,
+                    seq_mode="hash"),
     )
     pages.unpersist()
     frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
@@ -1275,7 +1276,7 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
     summary = crawl(
         spark, workdir, pages, seeds, policy,
         CrawlConfig(max_rounds=30, use_bloom=True, bloom_buckets=8, n_salt=4,
-                    write_coalesce=4),
+                    write_coalesce=4, seq_mode="hash"),
     )
     frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
     return frontier.select("url", "depth", "status", "discovered_round", "fetched_round")

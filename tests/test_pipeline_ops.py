@@ -140,3 +140,12 @@ def test_transliterate_is_import_gated(spark):
 
     with _pytest.raises(NotImplementedError, match="pypinyin"):
         textops.transliterate_udf()
+
+
+def test_pool_pick_random_deterministic(spark):
+    p0 = spark.createDataFrame(
+        [("a:1", 100), ("b:2", 100), ("c:3", 40)], "proxy string, score int"
+    )
+    a = pool.pick_random(p0, seed=7).collect()[0].proxy
+    b = pool.pick_random(p0, seed=7).collect()[0].proxy
+    assert a == b and a in {"a:1", "b:2"}  # prefers MAX_SCORE members
