@@ -19,3 +19,8 @@ Nothing in here ports reference code; the reference defines WHAT is computed
 """
 
 __version__ = "0.1.0"
+
+from spider_spark.crawl import CrawlSummary, crawl  # noqa: E402,F401
+from spider_spark.round import CrawlConfig  # noqa: E402,F401
+
+__all__ = ["CrawlConfig", "CrawlSummary", "crawl", "__version__"]

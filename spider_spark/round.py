@@ -226,6 +226,9 @@ def run_round(
     cfg: CrawlConfig,
     seen_prefilter: Callable[[DataFrame], DataFrame] | None = None,
 ) -> RoundResult:
+    """One crawl round. PRECONDITION: ``pages`` is unique by url (the
+    Iceberg-primary-key contract of the corpus table) — a duplicate url
+    would fan out the fetch join and multiply frontier MERGE rows."""
     new_rows = frontier.where(F.col("status") == "new")
 
     # --- politeness + robots via broadcast policy (A12/A13) ----------------

@@ -1,0 +1,56 @@
+"""Regex-dialect parity properties: the engine extracts links with JVM
+regexp_extract_all while the parity model uses Python re — the two dialects
+must agree on the exact reference patterns (SURVEY.md §7 hard part (a))."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from spider_spark import parse
+
+_attr = st.from_regex(r'[a-z]{1,6}="[A-Za-z0-9/:.%#?&=_-]{0,20}"', fullmatch=True)
+_text = st.from_regex(r"[A-Za-z0-9 <>/=.\"'-]{0,40}", fullmatch=True)
+_jd = st.from_regex(r"//item\.jd\.com/[0-9]{7,11}\.html", fullmatch=True)
+
+
+@st.composite
+def html_docs(draw):
+    parts = draw(
+        st.lists(
+            st.one_of(
+                _text,
+                _attr.map(lambda a: f"<a {a}>x</a>"),
+                _jd.map(lambda u: f'<a href="{u}">jd</a>'),
+                st.just('<a href="">empty</a>'),
+                st.just("href=\"unclosed"),
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    return "".join(parts)
+
+
+def _spark_extract(spark, docs, col_fn):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, html string")
+    return {r["i"]: list(r["m"]) for r in df.select("i", col_fn(F.col("html")).alias("m")).collect()}
+
+
+def test_href_and_jd_patterns_agree_with_python(spark):
+    import hypothesis
+
+    docs: list[str] = []
+
+    @hypothesis.given(html_docs())
+    @hypothesis.settings(max_examples=250, deadline=None, database=None)
+    def collect(d):
+        docs.append(d)
+
+    collect()
+    got_href = _spark_extract(spark, docs, parse.links_col)
+    got_jd = _spark_extract(spark, docs, parse.jd_links_col)
+    for i, d in enumerate(docs):
+        assert got_href[i] == parse.extract_links(d), d
+        assert got_jd[i] == parse.extract_jd_links(d), d
