@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import unicodedata
 from urllib.parse import urlsplit
 
 from pyspark.sql import Column
@@ -30,14 +31,31 @@ from pyspark.sql import functions as F
 XXHASH_SEED = 42  # F.xxhash64 default seed
 
 # Mirror of java.net.URI's strictness the JVM side applies (Spark's
-# try_parse_url → NULL on malformed): a stray % without two hex digits is
-# the common crawl-wild case. Both sides must agree on "unparseable ⇒ fall
-# back to the raw string" or engine and parity model drift.
+# try_parse_url → NULL on malformed). Both sides must agree on
+# "unparseable ⇒ fall back to the raw string" or engine and parity model
+# drift. Empirically verified against Spark 4.1.2 try_parse_url
+# (char-by-char probe, round 2): java rejects
+#   - a stray % without two hex digits (the common crawl-wild case),
+#   - the RFC-3986 "excluded" ASCII set  " < > [ \\ ] ^ ` { | },
+#   - ISO control chars (0x00-0x1f, 0x7f-0x9f — includes NEL 0x85),
+#   - Unicode space separators (categories Zs/Zl/Zp: space, NBSP, EN SPACE,
+#     LINE SEPARATOR, ...),
+# while ALLOWING other non-ASCII (é, 中, emoji, even U+FEFF — java's
+# "other category" deviation from RFC 2396).
 _BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+_BAD_ASCII = set('"<>[\\]^`{|}')
 
 
 def _parseable(url: str) -> bool:
-    return not _BAD_ESCAPE.search(url)
+    if _BAD_ESCAPE.search(url):
+        return False
+    for ch in url:
+        o = ord(ch)
+        if o < 0x20 or 0x7F <= o <= 0x9F or ch in _BAD_ASCII:
+            return False
+        if unicodedata.category(ch) in ("Zs", "Zl", "Zp"):
+            return False
+    return True
 
 
 # ---------------------------------------------------------------- pure python

@@ -93,13 +93,6 @@ def crawl(
         result: RoundResult = run_round(
             spark, frontier, pages, policy, rnd, cfg, seen_prefilter=seen_prefilter
         )
-        if cfg.backoff_factor > 1.0:
-            # B7: blocked hosts get slower budgets next round
-            from spider_spark.round import policy_backoff
-
-            policy = policy_backoff(
-                policy, result.fetch_log, factor=cfg.backoff_factor
-            ).localCheckpoint(eager=False)
         tbls = {
             "frontier": result.frontier,
             "links": result.links,
@@ -114,6 +107,17 @@ def crawl(
             # partition count upstream and serialize the whole round
             tbls = {k: df.repartition(cfg.write_coalesce) for k, df in tbls.items()}
         tables.write_snapshot(workdir, rnd, tbls)
+        if cfg.backoff_factor > 1.0:
+            # B7: blocked hosts get slower budgets next round. Materialize
+            # EAGERLY and AFTER the snapshot write (parsed is cache-hot and
+            # fetch_log tiny): a lazy checkpoint would only materialize next
+            # round, after the unpersist below, forcing a full recompute of
+            # this round's claim/fetch/parse pipeline (ADVICE r01).
+            from spider_spark.round import policy_backoff
+
+            policy = policy_backoff(
+                policy, result.fetch_log, factor=cfg.backoff_factor
+            ).localCheckpoint(eager=True)
         for df in result.cached:
             df.unpersist()
         rounds_run += 1

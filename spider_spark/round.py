@@ -183,7 +183,13 @@ def budget_from_delay(policy: DataFrame, round_duration: float) -> DataFrame:
     (client_crawler.py:84,253); per-host budgets are the cluster-correct
     form: cluster-wide rate = Σ budgets per round. Hosts with an explicit
     non-negative budget keep it."""
-    derived = F.floor(F.lit(round_duration) / F.col("crawl_delay")).cast("int")
+    # crawl_delay <= 0 means "no delay" ⇒ the unlimited sentinel (-1); the
+    # bare division would yield Infinity and CAST_OVERFLOW under ANSI
+    # (ADVICE r01).
+    derived = F.when(
+        F.col("crawl_delay") > 0,
+        F.floor(F.lit(round_duration) / F.col("crawl_delay")).cast("int"),
+    ).otherwise(F.lit(-1))
     return policy.withColumn(
         "host_budget",
         F.when(F.coalesce(F.col("host_budget"), F.lit(-1)) >= 0, F.col("host_budget"))
@@ -233,7 +239,11 @@ def run_round(
 
     # --- politeness + robots via broadcast policy (A12/A13) ----------------
     cand = new_rows.join(F.broadcast(policy), "host", "left")
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # try_parse_url, NOT parse_url: ANSI parse_url THROWS on malformed
+    # escapes, and canonical_col deliberately lets unparseable crawl-wild
+    # hrefs into the frontier raw — one such child must not crash the round
+    # (ADVICE r01). Unparseable ⇒ path '/', i.e. subject to root rules.
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     denied = F.exists("robots_deny", lambda p: path.startswith(p))
     allowed = F.exists("robots_allow", lambda p: path.startswith(p))
     is_denied = F.coalesce(denied, F.lit(False)) | ~F.coalesce(allowed, F.lit(True))

@@ -149,11 +149,19 @@ class SeenSet:
             else:
                 arr = np.zeros(m // 8, dtype=np.uint8)
                 n = 0
+            n_new = 0
             if len(new_pdf):
-                _set_bits(arr, new_pdf["url_hash"].to_numpy(), k, m)
+                # n_items drives the overflow-rebuild heuristic, so count
+                # only keys whose bits were not already all set (unique'd
+                # within the batch) — blindly adding len(new_pdf) over-counts
+                # re-merged keys and would trigger spurious rebuilds.
+                h = np.unique(new_pdf["url_hash"].to_numpy())
+                already = _test_bits(arr, h, k, m)
+                _set_bits(arr, h, k, m)
+                n_new = int((~already).sum())
             return pd.DataFrame(
                 {"bucket": [int(key[0])], "filter": [arr.tobytes()],
-                 "n_items": [n + len(new_pdf)]}
+                 "n_items": [n + n_new]}
             )
 
         seg = (

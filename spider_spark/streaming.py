@@ -108,7 +108,13 @@ def host_fetch_rates(
         stream.withWatermark("warc_ts", watermark)
         .groupBy(
             F.window("warc_ts", window_len).alias("w"),
-            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+            # try_parse_url: a single malformed URL in the ingest stream must
+            # not abort the streaming query (a poison record would replay
+            # from checkpoint forever — ADVICE r01). Null hosts bucket as
+            # 'unknown' instead of killing the stream.
+            F.coalesce(
+                F.lower(F.try_parse_url("url", F.lit("HOST"))), F.lit("unknown")
+            ).alias("host"),
         )
         .agg(F.count(F.lit(1)).alias("n_fetched"))
         .select(

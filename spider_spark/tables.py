@@ -43,7 +43,6 @@ def write_snapshot(
     stats: dict | None = None,
 ) -> None:
     rdir = _round_dir(workdir, round_no)
-    counts = {}
     # concurrent writes: each table write is a separate Spark job whose
     # scheduling latency would otherwise serialize; the manifest below is
     # still the single commit point, so atomicity is unchanged
@@ -55,11 +54,17 @@ def write_snapshot(
 
     with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
         list(pool.map(write_one, tables.items()))
-    manifest = {"round": round_no, "tables": sorted(tables), "counts": counts,
-                "stats": stats or {}}
+    manifest = {"round": round_no, "tables": sorted(tables), "stats": stats or {}}
     tmp = rdir / "manifest.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.rename(rdir / "manifest.json")  # commit point
+
+
+def read_manifest(workdir: str | Path, round_no: int) -> dict | None:
+    p = _round_dir(workdir, round_no) / "manifest.json"
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
 
 
 def latest_round(workdir: str | Path) -> int | None:

@@ -29,7 +29,18 @@ from spider_spark.canon import (
 _host = st.from_regex(
     r"[a-z]([a-z0-9-]{0,8}[a-z0-9])?(\.[a-z]{2,5}){1,2}", fullmatch=True
 )
-_path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,4}", fullmatch=True)
+# Path alphabet deliberately includes the char classes java.net.URI rejects
+# (space, excluded ASCII, NBSP, a control char) plus allowed non-ASCII
+# (é, 中, U+FEFF) — ADVICE r01: the old [A-Za-z0-9._~%-] alphabet could not
+# generate the inputs where engine and python model used to drift.
+_pathchar = st.sampled_from(
+    list("abcz019._~%-")
+    + list(' {}|\\^`<>"[]')
+    + ["é", "中", " ", "﻿", "\x07"]
+)
+_path = st.lists(
+    st.lists(_pathchar, max_size=6).map("".join), max_size=4
+).map(lambda segs: "".join("/" + s for s in segs))
 _query = st.one_of(st.just(""), st.from_regex(r"\?[a-z]=[0-9]{1,3}", fullmatch=True))
 _frag = st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9]{0,6}", fullmatch=True))
 _scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"])

@@ -62,6 +62,13 @@ def test_budget_from_delay(spark, fixture):
     )
     out2 = budget_from_delay(explicit, round_duration=60.0)
     assert {r["host_budget"] for r in out2.collect()} == {3}
+    # crawl_delay=0 means "no delay" ⇒ unlimited sentinel, not a
+    # divide-by-zero CAST_OVERFLOW (ADVICE r01)
+    zero = spark.createDataFrame(
+        corpus.make_host_policy(pages_pd, crawl_delay=0.0, host_budget=-1)
+    )
+    out3 = budget_from_delay(zero, round_duration=60.0)
+    assert {r["host_budget"] for r in out3.collect()} == {-1}
 
 
 def test_pagerank_priority_changes_pop_order(spark, fixture, tmp_path):
@@ -155,3 +162,41 @@ def test_xpath_extractor_is_import_gated(spark):
 
     with pytest.raises(NotImplementedError, match="lxml"):
         _parse.xpath_extractor_udf("//title/text()")
+
+
+def test_malformed_href_does_not_crash_round(spark, tmp_path):
+    """ADVICE r01 (high): canonical_col passes malformed URLs (stray %
+    escape) raw into the frontier; the robots path extraction must use
+    try_parse_url or the NEXT round throws INVALID_URL and kills the crawl."""
+    import pandas as pd
+
+    html = (
+        '<html><head><title>t</title></head><body><p>x</p>'
+        '<a href="https://h0.example.com/%zz">bad</a>'
+        '<a href="https://h0.example.com/ok">good</a></body></html>'
+    ).encode("utf8")
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://h0.example.com/"], "html": [html]})
+    )
+    policy = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h0.example.com"],
+                "crawl_delay": [5.0],
+                "robots_allow": [["/"]],
+                "robots_deny": [["/private"]],
+                "host_budget": [-1],
+            }
+        )
+    )
+    s = crawl(
+        spark, tmp_path / "wd", pages,
+        [("https://h0.example.com/", 0)], policy, CrawlConfig(max_rounds=4),
+    )
+    frontier = tables.read_table(spark, tmp_path / "wd", s.last_round, "frontier")
+    by_url = {r["url"]: r["status"] for r in frontier.collect()}
+    # the malformed child entered the frontier raw and was processed (failed
+    # fetch — not a crash), the good child too
+    assert by_url["https://h0.example.com/%zz"] == "failed"
+    assert by_url["https://h0.example.com/ok"] == "failed"
+    assert by_url["https://h0.example.com/"] == "done"
