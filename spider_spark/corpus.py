@@ -97,6 +97,80 @@ _QCC_FIELDS = [
 ]
 
 
+def make_qcc_pages(n_pages: int = 200, seed: int = 7) -> pd.DataFrame:
+    """Messy company-detail pages for the DOM byte-parity surface (C1/C2).
+
+    Deliberately adversarial-but-realistic HTML, deterministic per seed:
+    mixed-case tags, randomized attribute noise on label cells, unclosed
+    ``<tr>``/``<td>``, entity-encoded values (& < > " and CJK), a trailing
+    ``<span>`` after value text, random inter-tag whitespace, a decoy table
+    with the same labels, and ~25% of pages encoded gb18030 (抖音.py:12's
+    double-decode case). Golden columns carry the planted values the
+    reference's lxml XPath family (qcc.py:52-59) must recover byte-exactly.
+    """
+    rng = np.random.default_rng(seed)
+    labels = [
+        ("registered_capital", "注册资本："),
+        ("contributed_capital", "实缴资本："),
+        ("management_forms", "经营状态："),
+        ("established_data", "成立日期："),
+        ("credit_code", "统一社会信用代码："),
+        ("address", "企业地址："),
+        ("business_scope", "经营范围："),
+    ]
+    statuses = ["存续", "注销", "吊销", "在业"]
+    rows = []
+    for i in range(n_pages):
+        vals = {
+            "company_name": f"公司{i} & <子公司 {i % 7}> \"品牌\"",
+            "registered_capital": f"{rng.integers(10, 99999)}万元",
+            "contributed_capital": f"{rng.integers(10, 99999)}万元",
+            "management_forms": statuses[int(rng.integers(0, len(statuses)))],
+            "established_data": f"{1990 + i % 30}-0{1 + i % 9}-1{i % 9}",
+            "credit_code": f"91{i:012d}X{'G' if i % 2 else 'A'}",
+            "address": f"城市{i % 13}区 第{i}号 & 楼<A>",
+            "business_scope": f"软件开发 & <增值电信业务> 第{i}类",
+        }
+
+        def esc(s: str) -> str:
+            return (
+                s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;")
+            )
+
+        ws = lambda: " \n"[int(rng.integers(0, 2))] * int(rng.integers(0, 3))  # noqa: E731
+        attr = lambda: (' width="20%"', ' class="tb"', "")[int(rng.integers(0, 3))]  # noqa: E731
+        cells = []
+        for field, label in labels:
+            close_label = "</td>" if rng.random() < 0.5 else ""
+            close_val = "</td></tr>" if rng.random() < 0.5 else ""
+            tail = '<span class="tip">?</span>' if rng.random() < 0.3 else ""
+            cells.append(
+                f"<tr>{ws()}<td{attr()}>{label}{close_label}"
+                f"<td>{esc(vals[field])}{tail}{close_val}"
+            )
+        table_tag = "TABLE" if i % 3 == 0 else "table"
+        html = (
+            f'<HTML><head><meta charset="x"><title>公司{i}</title></head><BODY>{ws()}'
+            f'<table class="other"><tr><td>注册资本：</td><td>DECOY{i}</td></tr></table>'
+            f'<div class="row title"><h1>{esc(vals["company_name"])}</h1>'
+            f'<span class="tag">t</span></div>{ws()}'
+            f'<{table_tag} width="100%" class="ntable">'
+            + "".join(cells)
+            + f"</{table_tag}>{'</BODY></html>' if rng.random() < 0.9 else ''}"
+        )
+        enc = "gb18030" if rng.random() < 0.25 else "utf-8"
+        rows.append(
+            {
+                "url": f"https://www.qcc.com/firm_{i:08x}.html",
+                "html": html.encode(enc),
+                "encoding": enc,
+                **vals,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_seeds(pages: pd.DataFrame, n_seeds: int = 3, include_missing: bool = True) -> pd.DataFrame:
     """Seed list: first pages (deterministic) + one URL not in the corpus
     (FIXTURES.md §2: fetch-miss path). Reference seeds at depth 0

@@ -95,32 +95,44 @@ _PARSE_SCHEMA = StructType(
 )
 
 
+def _decode_series(html: pd.Series) -> pd.Series:
+    """bytes → str, vectorized: one pandas .str.decode('utf-8') pass with a
+    per-row gb18030 retry only for rows that produced replacement chars —
+    the reference's double-decode shape (抖音/抖音.py:12 decodes gb18030,
+    everything else utf-8)."""
+    is_bytes = html.map(lambda v: isinstance(v, (bytes, bytearray)))
+    s = html.copy()
+    if is_bytes.any():
+        dec = html[is_bytes].str.decode("utf-8", errors="replace")
+        bad = dec.str.contains("�", regex=False)
+        if bad.any():
+            dec.loc[bad] = html[is_bytes][bad].map(
+                lambda r: bytes(r).decode("gb18030", errors="replace")
+            )
+        s.loc[is_bytes] = dec
+    return s
+
+
 @pandas_udf(_PARSE_SCHEMA)
 def parse_page_udf(html: pd.Series) -> pd.DataFrame:
     """Vectorized page parser: html bytes → (title, text, qcc fields, error).
 
-    Arrow-batched; failures become the ``error`` column, never exceptions
-    (the reference swallows them with bare except — qcc.py:60-62; we surface
-    them as data, SURVEY.md §2.H.10).
-    """
-    rows = []
-    for raw in html:
-        rec: dict[str, str | None] = {}
-        try:
-            s = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw
-            if s is None:
-                raise ValueError("null html")
-            rec["title"] = extract_title(s)
-            rec["text"] = extract_text(s)
-            qcc = extract_qcc(s)
-            for f, _ in QCC_FIELDS:
-                rec[f"company_{f}"] = qcc[f]
-            rec["error"] = None
-        except Exception as exc:  # noqa: BLE001 — error becomes data
-            rec = {f.name: None for f in _PARSE_SCHEMA.fields}
-            rec["error"] = f"{type(exc).__name__}: {exc}"
-        rows.append(rec)
-    return pd.DataFrame(rows, columns=[f.name for f in _PARSE_SCHEMA.fields])
+    Fully vectorized pandas ``.str.extract`` per field (the crawl flagship
+    spends its parse CPU here — the round-1 python row loop was the single
+    hottest python-side cost); failures become the ``error`` column, never
+    exceptions (the reference swallows them with bare except — qcc.py:60-62;
+    we surface them as data, SURVEY.md §2.H.10). For structural extraction
+    on messy real-world HTML use the DOM UDFs below; this regex surface is
+    the JD-parity fast path (client_crawler.py's parsers are regex)."""
+    s = _decode_series(html)
+    out = pd.DataFrame(index=html.index)
+    out["title"] = s.str.extract(_RE_TITLE, expand=False)
+    out["text"] = s.str.extract(_RE_TEXT, expand=False)
+    for f, _ in QCC_FIELDS:
+        out[f"company_{f}"] = s.str.extract(_RE_QCC[f], expand=False)
+    out["error"] = None
+    out.loc[html.isna(), "error"] = "ValueError: null html"
+    return out[[f.name for f in _PARSE_SCHEMA.fields]]
 
 
 def parsed_struct(html_bin: Column) -> Column:
@@ -138,32 +150,128 @@ def jd_links_col(html_str: Column) -> Column:
     return F.regexp_extract_all(html_str, F.lit(JD_ITEM_PATTERN), 0)
 
 
-def xpath_extractor_udf(xpath: str):
-    """C1/C2: real-lxml XPath extraction (qcc.py:41-59's
-    ``contains(text(),…)/following-sibling::td[1]`` family). lxml is not in
-    this container, so the UDF is import-gated — the regex parsers above
-    carry the parity surface here; with lxml installed this becomes the
-    byte-exact reference path (pin the lxml version, SURVEY.md §7 risk (a))."""
-    try:
-        from lxml import etree  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "lxml not installed in this environment; pip install lxml "
-            "enables xpath_extractor_udf"
-        ) from exc
+# ------------------------------------------------- DOM structural surface
+# C1/C2/C3: the reference's extraction is lxml XPath + pyquery CSS. Those
+# libraries are absent here and installing packages is out of scope, so the
+# from-scratch stdlib engine in dom.py carries the parity surface — REAL
+# structural extraction over broken/entity-laden/gb18030 HTML, not regex.
+# The expressions below are the reference's verbatim.
 
-    from pyspark.sql.functions import pandas_udf
+# 企查查工商数据/qcc.py:52-59 — the 8-field family, exact expressions
+# (python-side .strip() applied by qcc.py's consumers is NOT applied here;
+# the raw lxml .text value is the parity target).
+QCC_XPATH_FIELDS: list[tuple[str, str]] = [
+    ("company_name", '//div[@class="row title"]/h1'),
+] + [
+    (field, '//table[@class="ntable"]//tr/td[contains(text(),"%s")]'
+            "/following-sibling::td[1]" % label)
+    for field, label in [
+        ("registered_capital", "注册资本："),
+        ("contributed_capital", "实缴资本："),
+        ("management_forms", "经营状态："),
+        ("established_data", "成立日期："),
+        ("credit_code", "统一社会信用代码："),
+        ("address", "企业地址："),
+        ("business_scope", "经营范围："),
+    ]
+]
 
-    @pandas_udf("string")
-    def extract(html: pd.Series) -> pd.Series:
-        def one(raw):
+
+def xpath_fields_udf(fields: list[tuple[str, str]]):
+    """C1/C2: DOM XPath extraction — one parse per page, N compiled
+    expressions evaluated against it; each value is ``tree.xpath(expr)[0]``
+    with lxml result semantics (element hit → ``.text``, ``text()``/@attr
+    hit → the string itself; no hit → NULL). Arrow-batched; the DOM walk is
+    inherently per-document (same shape lxml itself has under the hood)."""
+    from spider_spark import dom
+
+    compiled = [(name, dom.XPath(expr)) for name, expr in fields]
+    schema = StructType([StructField(n, StringType(), True) for n, _ in fields])
+
+    @pandas_udf(schema)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        names = [n for n, _ in compiled]
+        rows = []
+        for raw in html:
             if raw is None:
-                return None
-            doc = etree.HTML(raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw)
-            hits = doc.xpath(xpath) if doc is not None else []
-            return str(hits[0]) if hits else None
+                rows.append(dict.fromkeys(names))
+                continue
+            tree = dom.parse_html_bytes(raw)
+            rec = {}
+            for n, xp in compiled:
+                hits = xp(tree)
+                if not hits:
+                    rec[n] = None
+                else:
+                    h = hits[0]
+                    rec[n] = h if isinstance(h, str) else h.text
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=names)
 
-        return html.map(one)
+    return extract
+
+
+def css_fields_udf(fields: list[tuple[str, str]], strip: str | None = None):
+    """C3: pyquery-semantics CSS extraction (ProxyPool/proxypool/
+    crawler.py:50-67 ``td:nth-child(1)`` / ``.tbBottomLine:nth-child(2)``).
+    ``strip`` reproduces crawler.py:81's ``td.find('p').remove()`` before
+    ``.text()``: matching subtrees are excluded from the text value."""
+    from spider_spark import dom
+
+    compiled = [(name, dom.CssSelector(sel)) for name, sel in fields]
+    strip_sel = dom.CssSelector(strip) if strip else None
+    schema = StructType([StructField(n, StringType(), True) for n, _ in fields])
+
+    def node_text(node) -> str:
+        if strip_sel is None:
+            return dom.text_content(node).strip()
+        dead = {id(n) for n in strip_sel(node)}
+        out: list[str] = []
+
+        def walk(n):
+            for c in n.children:
+                if isinstance(c, str):
+                    out.append(c)
+                elif id(c) not in dead:
+                    walk(c)
+
+        walk(node)
+        return "".join(out).strip()
+
+    @pandas_udf(schema)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        names = [n for n, _ in compiled]
+        rows = []
+        for raw in html:
+            if raw is None:
+                rows.append(dict.fromkeys(names))
+                continue
+            tree = dom.parse_html_bytes(raw)
+            rec = {}
+            for n, sel in compiled:
+                hits = sel(tree)
+                rec[n] = node_text(hits[0]) if hits else None
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=names)
+
+    return extract
+
+
+def dom_links_udf():
+    """C4 structural variant: every <a href> in document order via the DOM
+    (handles entity-encoded and single-quoted hrefs the C4 regex scan
+    cannot). Returns array<string>."""
+    from pyspark.sql.types import ArrayType
+
+    from spider_spark import dom
+
+    xp = dom.XPath("//a/@href")
+
+    @pandas_udf(ArrayType(StringType()))
+    def extract(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda raw: None if raw is None else list(xp(dom.parse_html_bytes(raw)))
+        )
 
     return extract
 

@@ -684,6 +684,158 @@ def regex_extract_scan(spark, sf_dir):
     )
 
 
+def _html_escape(col):
+    """&/</> escaping for planted HTML text (order matters: & first)."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _qcc_expected_cols():
+    """The planted qcc field values, as Spark exprs over documents columns.
+    The oracle SQL reproduces these verbatim — the query output itself comes
+    ONLY from DOM extraction, so a green hash proves extraction == planted."""
+    did = F.col("doc_id")
+    return {
+        "company_name": F.concat(
+            F.lit("公司"), did.cast("string"), F.lit(" & <"), F.col("source"), F.lit(">")
+        ),
+        "registered_capital": F.concat(F.col("n_chars").cast("string"), F.lit("万元")),
+        "contributed_capital": F.concat(
+            (F.col("n_chars") * 2).cast("string"), F.lit("万元")
+        ),
+        "management_forms": F.when(F.col("lang") == "en", F.lit("存续")).otherwise(
+            F.lit("注销")
+        ),
+        "established_data": F.concat(
+            (F.lit(1990) + did % 30).cast("string"),
+            F.lit("-0"), (F.lit(1) + did % 9).cast("string"), F.lit("-11"),
+        ),
+        "credit_code": F.concat(
+            F.lit("91"), F.lpad(did.cast("string"), 12, "0"), F.lit("XG")
+        ),
+        "address": F.concat(F.col("source"), F.lit("市"), F.substring("text", 1, 12)),
+        "business_scope": F.concat(
+            F.substring("text", 1, 20), F.lit(" & <"), F.col("source"), F.lit(">")
+        ),
+    }
+
+
+_QCC_ORACLE = """
+    SELECT doc_id,
+           '公司' || doc_id::VARCHAR || ' & <' || source || '>' AS company_name,
+           n_chars::VARCHAR || '万元' AS registered_capital,
+           (n_chars * 2)::VARCHAR || '万元' AS contributed_capital,
+           CASE WHEN lang = 'en' THEN '存续' ELSE '注销' END AS management_forms,
+           (1990 + doc_id % 30)::VARCHAR || '-0' || (1 + doc_id % 9)::VARCHAR || '-11' AS established_data,
+           '91' || lpad(doc_id::VARCHAR, 12, '0') || 'XG' AS credit_code,
+           source || '市' || substr(text, 1, 12) AS address,
+           substr(text, 1, 20) || ' & <' || source || '>' AS business_scope
+    FROM documents
+"""
+
+
+@q("qcc_xpath_fields", _QCC_ORACLE)
+def qcc_xpath_fields(spark, sf_dir):
+    """C1/C2 structural parity: the reference's exact lxml XPath family
+    (qcc.py:52-59 — ``//div[@class="row title"]/h1`` + 7×
+    ``//table[@class="ntable"]//tr/td[contains(text(),"<label>")]/
+    following-sibling::td[1]``) evaluated by the from-scratch DOM engine
+    (dom.py) over deliberately MESSY html built from documents columns:
+    mixed-case tags, attribute noise on the label cells, unclosed <tr>/<td>,
+    entity-encoded values (& < >), a trailing <span> after the value text,
+    and a decoy non-ntable table carrying the same labels with wrong values
+    — every one of which defeats the round-1 regex surface. Output columns
+    come ONLY from extraction; the oracle reconstructs the planted values
+    from the raw columns."""
+    exp = _qcc_expected_cols()
+    esc = {k: _html_escape(v) for k, v in exp.items()}
+    html = F.concat(
+        F.lit('<HTML><Head><meta charset="utf-8"></head><BODY>'
+              '<div class="decoy"><table class="other" width="50%">'
+              "<tr><td>注册资本：</td><td>DECOY</td></tr></table></div>"
+              '<div class="row title"><h1>'),
+        esc["company_name"],
+        F.lit('</h1><span class="tag">core</span></div>'
+              '<div id="info"><TABLE width="100%" class="ntable">'
+              '<tr><td width="20%">注册资本：</td><td>'),
+        esc["registered_capital"],
+        F.lit('<span class="tip">?</span><td class="lb">实缴资本：</td><td>'),
+        esc["contributed_capital"],
+        F.lit("<tr><td>经营状态：</td><td>"),
+        esc["management_forms"],
+        F.lit("</td><td>成立日期：</td><td>"),
+        esc["established_data"],
+        F.lit("</td></tr><tr><td>统一社会信用代码：</td><td>"),
+        esc["credit_code"],
+        F.lit("<tr><td>企业地址：</td><td>"),
+        esc["address"],
+        F.lit("<tr><td>经营范围：</td><td>"),
+        esc["business_scope"],
+        F.lit("</TABLE></div></BODY></html>"),
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    fields = [(n, x) for n, x in parse.QCC_XPATH_FIELDS]
+    p = parse.xpath_fields_udf(fields)(F.col("html"))
+    return d.select("doc_id", p.alias("p")).select(
+        "doc_id", *[F.col(f"p.{n}").alias(n) for n, _ in fields]
+    )
+
+
+_CSS_ORACLE = """
+    SELECT doc_id,
+           (doc_id % 223)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR || '.' ||
+           ((doc_id * 13) % 256)::VARCHAR || '.' || (1 + doc_id % 254)::VARCHAR AS ip,
+           (1024 + doc_id % 48000)::VARCHAR AS port,
+           lang AS proto
+    FROM documents
+"""
+
+
+@q("css_select_fields", _CSS_ORACLE)
+def css_select_fields(spark, sf_dir):
+    """C3 pyquery parity: ProxyPool/proxypool/crawler.py:50-67,81 —
+    ``td:nth-child(1)`` / ``td:nth-child(2)`` over an #ip_list table with a
+    header row, ``.tbBottomLine:nth-child(1)``, and the ``find('p').remove()
+    `` pre-strip (the ip cell carries a decoy <p> the way kuaidaili pages
+    do). CSS evaluated by the from-scratch engine; oracle reconstructs the
+    planted values."""
+    did = F.col("doc_id")
+    ip = F.concat(
+        (did % 223).cast("string"), F.lit("."), ((did * 7) % 256).cast("string"),
+        F.lit("."), ((did * 13) % 256).cast("string"), F.lit("."),
+        (F.lit(1) + did % 254).cast("string"),
+    )
+    port = (F.lit(1024) + did % 48000).cast("string")
+    html = F.concat(
+        F.lit('<html><body><table id="ip_list" class="table">'
+              "<tr><th>IP</th><th>PORT</th></tr><tr><td>"),
+        ip,
+        F.lit('<p class="tip">辅助</p></td><td>'),
+        port,
+        F.lit('</td></tr></table><div class="row"><span class="tbBottomLine">'),
+        F.col("lang"),
+        F.lit('</span><span class="tbBottomLine">x</span></div></body></html>'),
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    p = parse.css_fields_udf(
+        [
+            ("ip", "#ip_list tr:nth-child(2) td:nth-child(1)"),
+            ("port", "#ip_list tr:nth-child(2) td:nth-child(2)"),
+            ("proto", "div.row .tbBottomLine:nth-child(1)"),
+        ],
+        strip="p",
+    )(F.col("html"))
+    return d.select("doc_id", p.alias("p")).select(
+        "doc_id", F.col("p.ip").alias("ip"), F.col("p.port").alias("port"),
+        F.col("p.proto").alias("proto"),
+    )
+
+
 @q(
     "string_cleanup",
     """

@@ -54,3 +54,31 @@ def test_href_and_jd_patterns_agree_with_python(spark):
     for i, d in enumerate(docs):
         assert got_href[i] == parse.extract_links(d), d
         assert got_jd[i] == parse.extract_jd_links(d), d
+
+
+def test_dom_byte_parity_on_messy_qcc_corpus(spark):
+    """BASELINE.json input_hint per-row invariant, on the DOM surface:
+    extracted field values must be BYTE-IDENTICAL to the planted golden
+    columns across a messy corpus (unclosed tags, entities, attr noise,
+    mixed case, ~25% gb18030 bytes) — the reference's lxml family
+    (qcc.py:52-59) run by the from-scratch engine."""
+    from spider_spark import corpus
+
+    pages = corpus.make_qcc_pages(n_pages=120, seed=7)
+    fields = [n for n, _ in parse.QCC_XPATH_FIELDS]
+    df = spark.createDataFrame(pages[["url", "html"]])
+    out = (
+        df.select("url", parse.xpath_fields_udf(parse.QCC_XPATH_FIELDS)(F.col("html")).alias("p"))
+        .select("url", "p.*")
+        .toPandas()
+        .set_index("url")
+    )
+    golden = pages.set_index("url")
+    assert len(out) == len(golden)
+    for f in fields:
+        got = out[f].to_dict()
+        want = golden[f].to_dict()
+        mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+        assert not mismatches, (f, dict(list(mismatches.items())[:3]))
+    # encoding split actually exercised both decode paths
+    assert set(golden["encoding"].unique()) == {"utf-8", "gb18030"}

@@ -157,11 +157,26 @@ def test_write_jsonl_one_object_per_line(spark, tmp_path):
     assert rows == [{"id": 1, "v": "a"}, {"id": 2, "v": None}]
 
 
-def test_xpath_extractor_is_import_gated(spark):
+def test_xpath_fields_udf_on_spark(spark):
+    """C1/C2 end-to-end in the engine: the reference-exact qcc XPath family
+    (qcc.py:52-59) runs inside an Arrow-batched UDF over binary html —
+    round 1's lxml import gate replaced by the from-scratch DOM engine."""
     from spider_spark import parse as _parse
 
-    with pytest.raises(NotImplementedError, match="lxml"):
-        _parse.xpath_extractor_udf("//title/text()")
+    html = (
+        '<html><body><div class="row title"><h1>甲公司 &amp; 乙</h1></div>'
+        '<table class="ntable"><tr><td>注册资本：</td><td>42万元</td>'
+        "<tr><td>经营范围：</td><td>软件 &lt;服务&gt;</td></table></body></html>"
+    ).encode("gb18030")
+    df = spark.createDataFrame([(html,), (None,)], "html binary")
+    out = df.select(
+        _parse.xpath_fields_udf(_parse.QCC_XPATH_FIELDS)(F.col("html")).alias("p")
+    ).select("p.*").collect()
+    assert out[0]["company_name"] == "甲公司 & 乙"
+    assert out[0]["registered_capital"] == "42万元"
+    assert out[0]["business_scope"] == "软件 <服务>"
+    assert out[0]["contributed_capital"] is None
+    assert all(v is None for v in out[1].asDict().values())
 
 
 def test_malformed_href_does_not_crash_round(spark, tmp_path):
