@@ -246,10 +246,11 @@ def embedding_dup_pairs(
     import pandas as pd
 
     n = vectors.count()
-    if n > 1_000_000:  # broadcast-side guard: beyond this, LSH-bucket first
-        raise ValueError(
-            f"exact pairwise over {n} vectors won't broadcast; use the "
-            "hyperplane-LSH bucketed path (vectorops.lsh_topk shape)"
+    if n > 1_000_000:
+        # beyond broadcast size, switch to the fully-distributed block-pair
+        # GEMM — same exact semantics, no driver materialization
+        return embedding_dup_pairs_blocked(
+            vectors, threshold, id_col=id_col, vec_col=vec_col
         )
     rows = vectors.select(id_col, vec_col).collect()  # broadcast side
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -274,3 +275,110 @@ def embedding_dup_pairs(
             yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
 
     return vectors.select(id_col, vec_col).mapInPandas(score, schema="a_id long, b_id long")
+
+
+def embedding_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs with NO driver collect —
+    distributed block-matrix pairwise GEMM (the VERDICT r01 fix for the
+    broadcast path's driver materialization).
+
+    Shape: rows hash into ``n_blocks`` blocks; each row is replicated into
+    every block-PAIR group (gi ≤ gj) containing its block, so group (gi,gj)
+    holds exactly the rows of blocks gi and gj and every candidate pair
+    lives in exactly one group (cross pairs in their sorted block pair,
+    intra pairs in the diagonal group, upper triangle). One numpy GEMM per
+    group via applyInPandas. Cost model: shuffle volume n·n_blocks rows,
+    per-task memory (n/n_blocks)·dim doubles, compute the unavoidable
+    O(n²·dim/2) — this is the right EXACT shape up to ~10^7 vectors;
+    beyond that exact all-pairs is intrinsically quadratic and the
+    approximate hyperplane-LSH path below is the 10^10 answer.
+    Returns (a_id, b_id), a_id < b_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = n_blocks
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    rep = v.select(
+        "id", "v", "blk", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("j")
+    ).select(
+        "id", "v", "blk",
+        F.least("blk", "j").alias("gi"), F.greatest("blk", "j").alias("gj"),
+    )
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy()
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat /= norms[:, None]
+        if gi == gj:
+            cos = mat @ mat.T
+            ia, ib = np.where(cos >= threshold)
+            a, b = ids[ia], ids[ib]
+            keep = a < b  # upper triangle (each pair appears symmetrically)
+            a, b = a[keep], b[keep]
+        else:
+            lm = (pdf["blk"] == gi).to_numpy()
+            cos = mat[lm] @ mat[~lm].T
+            ia, ib = np.where(cos >= threshold)
+            a, b = ids[lm][ia], ids[~lm][ib]
+            # cross-block pairs appear once — canonicalize to (min, max),
+            # never filter (block membership is hash-based, not id-ordered)
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": a, "b_id": b})
+
+    return rep.groupBy("gi", "gj").applyInPandas(gemm, schema="a_id long, b_id long")
+
+
+def embedding_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate near-dup pairs — the 10^10-row scale path: multi-table
+    random-hyperplane bucketing, candidate pairs from per-bucket self-joins
+    unioned across tables, then EXACT JVM-side cosine rescoring, so there
+    are no false positives — only (quantified) misses.
+
+    Per-pair recall at angle θ: 1 - (1 - (1-θ/π)^n_bits)^n_tables — choose
+    n_bits from the threshold's angle (high thresholds afford more bits,
+    i.e. smaller buckets). Candidate volume per table ≈ Σ_bucket n_b² — the
+    classic LSH trade; no all-pairs anywhere. Recall is asserted against
+    the exact path in tests (test_pipeline_ops)."""
+    from spider_spark.vectorops import cosine_col, hyperplane_sketch_col
+
+    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(n_tables):
+        sk = hyperplane_sketch_col(F.col("v"), n_bits, dim, seed=f"embdup{t}")
+        side = base.select("id", sk.alias("bucket"))
+        pair = (
+            side.alias("a")
+            .join(side.alias("b"), "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.groupBy("a_id", "b_id").agg(F.lit(1).alias("_one")).drop("_one")
+    scored = (
+        cands.join(base.select(F.col("id").alias("a_id"), F.col("v").alias("_va")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("v").alias("_vb")), "b_id")
+        .withColumn("cos", cosine_col(F.col("_va"), F.col("_vb")))
+    )
+    return scored.where(F.col("cos") >= threshold).select("a_id", "b_id")
