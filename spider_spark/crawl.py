@@ -74,14 +74,14 @@ def crawl(
             rnd -= 1
             break
 
-        seen_prefilter = None
+        seen_mark = None
         seen = None
         if cfg.use_bloom:
             seen = SeenSet.load(
                 spark, workdir, rnd - 1,
                 n_buckets=cfg.bloom_buckets, fpp=cfg.bloom_fpp,
             )
-            seen_prefilter = seen.split
+            seen_mark = seen.mark
 
         if cfg.pagerank_every and rnd > 1 and (rnd - 1) % cfg.pagerank_every == 0:
             all_links = tables.read_appended(spark, workdir, "links", upto_round=rnd - 1)
@@ -91,7 +91,7 @@ def crawl(
                 )
 
         result: RoundResult = run_round(
-            spark, frontier, pages, policy, rnd, cfg, seen_prefilter=seen_prefilter
+            spark, frontier, pages, policy, rnd, cfg, seen_mark=seen_mark
         )
         tbls = {
             "frontier": result.frontier,
@@ -101,7 +101,14 @@ def crawl(
         }
         if seen is not None:
             new_urls = result.frontier.where(F.col("discovered_round") == rnd)
-            tbls["seen_segments"] = seen.merged(new_urls)
+            seg = seen.merged(new_urls).persist()
+            # overflow check (one n_buckets-row collect over the persisted
+            # merge); any overflowed bucket is rebuilt from the frontier
+            # with doubled m BEFORE the snapshot write, so the written
+            # segments never carry a degraded-FP geometry forward
+            rebuilt = seen.maybe_rebuild(result.frontier)
+            tbls["seen_segments"] = rebuilt if rebuilt is not None else seg
+            result.cached.append(seg)
         if cfg.write_coalesce > 0:
             # repartition, NOT coalesce: coalesce would propagate the tiny
             # partition count upstream and serialize the whole round

@@ -152,7 +152,10 @@ def policy_backoff(
     by it (floored at 1) — so the next round claims less from hosts that
     are refusing us."""
     rates = (
-        fetch_log.groupBy("host")
+        # partition_id < 0 rows are telemetry sentinels (the _bloom probe
+        # counters), not per-host fetch outcomes
+        fetch_log.where(F.col("partition_id") >= 0)
+        .groupBy("host")
         .agg(
             (F.sum("n_missed") / F.sum("n_claimed")).alias("_miss_rate"),
         )
@@ -230,7 +233,7 @@ def run_round(
     policy: DataFrame,
     round_no: int,
     cfg: CrawlConfig,
-    seen_prefilter: Callable[[DataFrame], DataFrame] | None = None,
+    seen_mark: Callable[[DataFrame], DataFrame] | None = None,
 ) -> RoundResult:
     """One crawl round. PRECONDITION: ``pages`` is unique by url (the
     Iceberg-primary-key contract of the corpus table) — a duplicate url
@@ -305,8 +308,13 @@ def run_round(
     agg = agg.persist()
 
     # --- dedup against the seen set: Bloom prefilter + exact anti-join -----
-    if seen_prefilter is not None:
-        maybe_seen, definitely_new = seen_prefilter(agg)
+    marked = None
+    if seen_mark is not None:
+        # one persisted probe pass yields both split halves AND the
+        # n_candidates/n_maybe/n_new telemetry counters without re-probing
+        marked = seen_mark(agg).persist()
+        maybe_seen = marked.where(F.col("maybe")).drop("maybe")
+        definitely_new = marked.where(~F.col("maybe")).drop("maybe")
         survivors = definitely_new.unionByName(
             maybe_seen.join(frontier.select("url"), "url", "left_anti")
         )
@@ -404,8 +412,32 @@ def run_round(
         .select(F.lit(round_no).alias("round"), "partition_id", "host",
                 "n_claimed", "n_fetched", "n_missed")
     )
+    cached = [parsed, agg, frontier_next]
+    if marked is not None:
+        # FP-rate telemetry (SURVEY.md §7 step 4): one sentinel row per
+        # round under host='_bloom', partition_id=-1 — n_claimed=candidates
+        # probed, n_fetched=maybe-seen, n_missed=definitely-new. FP rate ≈
+        # (n_maybe - truly-seen)/candidates, recoverable with the round's
+        # new-children count; consumers of real host rows filter
+        # partition_id >= 0 (policy_backoff does).
+        bloom_log = (
+            marked.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_claimed"),
+                F.coalesce(F.sum(F.col("maybe").cast("long")), F.lit(0)).alias("n_fetched"),
+                F.coalesce(F.sum((~F.col("maybe")).cast("long")), F.lit(0)).alias("n_missed"),
+            )
+            .select(
+                F.lit(round_no).alias("round"),
+                F.lit(-1).alias("partition_id"),
+                F.lit("_bloom").alias("host"),
+                "n_claimed", "n_fetched", "n_missed",
+            )
+        )
+        fetch_log = fetch_log.unionByName(bloom_log)
+        cached.append(marked)
 
     return RoundResult(
         frontier=frontier_next, links=links, items=items, fetch_log=fetch_log,
-        cached=[parsed, agg, frontier_next],
+        cached=cached,
     )

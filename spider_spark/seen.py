@@ -25,10 +25,16 @@ exists for frontier-eviction workflows (north_rule names it).
 
 Sizing: bits/key ≈ -1.44·log2(fpp); at fpp=1% ≈ 9.6 bits ⇒ a 10^10-URL seen
 set is ~12 GB *total*, i.e. ~12 MB per bucket at N=1024 — each segment fits
-comfortably in one task. Segment capacity is fixed per build; the engine
-rebuilds segments from the frontier when n_items exceeds capacity (FP rate
-degrades gracefully in between, correctness unaffected thanks to the exact
-escape).
+comfortably in one task. Every segment row carries its OWN geometry
+(``m`` bits, ``k`` hashes), so buckets grow independently:
+``maybe_rebuild`` inspects the (tiny, n_buckets-row) stats, and any bucket
+whose ``n_items`` exceeds its capacity is rebuilt from the frontier with
+``m`` doubled until capacity ≥ 2·n_items — FP rate degrades gracefully in
+between and snaps back after the rebuild; correctness is never affected
+thanks to the exact anti-join escape. The crawl loop runs the check each
+round (cost: one n_buckets-row collect) and logs per-round probe counts
+(n_candidates / n_maybe / n_definitely_new) to fetch_log under the
+``_bloom`` sentinel host for FP-rate telemetry (SURVEY.md §7 step 4).
 """
 
 from __future__ import annotations
@@ -45,6 +51,8 @@ from spider_spark import tables
 from spider_spark.canon import url_hash_col
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+# per-bucket geometry travels WITH the segment so buckets grow independently
+SEG_SCHEMA = "bucket int, filter binary, n_items long, m long, k int"
 
 
 def _positions(h: np.ndarray, k: int, m: int) -> Iterable[np.ndarray]:
@@ -99,13 +107,25 @@ class SeenSet:
         self.k = max(1, round(self.m / capacity_per_bucket * math.log(2)))
         self.segments = segments
 
+    def _capacity_of(self, m: int) -> int:
+        """Inverse of the sizing formula: keys an m-bit segment holds at the
+        configured fpp."""
+        return int(m * (math.log(2) ** 2) / -math.log(self.fpp))
+
     # ------------------------------------------------------------------ io
     @classmethod
     def load(cls, spark: SparkSession, workdir, round_no: int, **kw) -> "SeenSet":
-        """Bloom geometry (n_buckets, fpp, capacity) must match build time —
-        always pass the same CrawlConfig values used at build."""
+        """n_buckets and fpp must match build time — always pass the same
+        CrawlConfig values used at build. Per-bucket (m, k) travel in the
+        table itself; pre-geometry snapshots get the config defaults."""
         seg = tables.read_table(spark, workdir, round_no, "seen_segments")
-        return cls(segments=seg, **kw)
+        inst = cls(segments=None, **kw)
+        if "m" not in seg.columns:
+            seg = seg.withColumn("m", F.lit(inst.m).cast("long")).withColumn(
+                "k", F.lit(inst.k).cast("int")
+            )
+        inst.segments = seg
+        return inst
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         hash_col = F.col("url_hash") if "url_hash" in df.columns else url_hash_col(F.col("url"))
@@ -122,31 +142,32 @@ class SeenSet:
 
         def make(pdf: pd.DataFrame) -> pd.DataFrame:
             arr = np.zeros(m // 8, dtype=np.uint8)
-            h = pdf["url_hash"].to_numpy()
+            h = np.unique(pdf["url_hash"].to_numpy())
             _set_bits(arr, h, k, m)
             return pd.DataFrame(
                 {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [arr.tobytes()],
-                 "n_items": [len(pdf)]}
+                 "n_items": [len(h)], "m": [m], "k": [k]}
             )
 
-        seg = (
-            self._bucketed(frontier)
-            .groupBy("bucket")
-            .applyInPandas(make, schema="bucket int, filter binary, n_items long")
+        seg = self._bucketed(frontier).groupBy("bucket").applyInPandas(
+            make, schema=SEG_SCHEMA
         )
         self.segments = seg
         return seg
 
     def merged(self, new_rows: DataFrame) -> DataFrame:
-        """OR the new URLs' bits into the existing segments (per-bucket)."""
+        """OR the new URLs' bits into the existing segments (per-bucket,
+        per-bucket geometry)."""
         assert self.segments is not None, "load/build first"
-        m, k = self.m, self.k
+        m0, k0 = self.m, self.k
 
         def merge(key, new_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(seg_pdf):
+                m, k = int(seg_pdf["m"].iloc[0]), int(seg_pdf["k"].iloc[0])
                 arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
                 n = int(seg_pdf["n_items"].iloc[0])
             else:
+                m, k = m0, k0
                 arr = np.zeros(m // 8, dtype=np.uint8)
                 n = 0
             n_new = 0
@@ -161,14 +182,14 @@ class SeenSet:
                 n_new = int((~already).sum())
             return pd.DataFrame(
                 {"bucket": [int(key[0])], "filter": [arr.tobytes()],
-                 "n_items": [n + n_new]}
+                 "n_items": [n + n_new], "m": [m], "k": [k]}
             )
 
         seg = (
             self._bucketed(new_rows)
             .groupby("bucket")
             .cogroup(self.segments.groupby("bucket"))
-            .applyInPandas(merge, schema="bucket int, filter binary, n_items long")
+            .applyInPandas(merge, schema=SEG_SCHEMA)
         )
         # buckets with no new rows must survive untouched
         untouched = self.segments.join(
@@ -178,14 +199,56 @@ class SeenSet:
         self.segments = out
         return out
 
-    # ---------------------------------------------------------------- query
-    def split(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """candidates (must have ``url``) → (maybe_seen, definitely_new).
-
-        definitely_new rows can skip the exact anti-join entirely — that is
-        the whole point of the filter at 10^10 scale."""
+    def maybe_rebuild(self, frontier: DataFrame) -> DataFrame | None:
+        """Rebuild any bucket whose n_items exceeds its capacity, from the
+        frontier, with m doubled until capacity ≥ 2·n_items (k is m/capacity
+        -scaled so it stays constant). Cost when nothing overflows: one
+        n_buckets-row collect. Returns the new segments or None if no
+        bucket overflowed."""
         assert self.segments is not None, "load/build first"
-        m, k = self.m, self.k
+        stats = self.segments.select("bucket", "n_items", "m").collect()
+        grow: dict[int, int] = {}
+        for r in stats:
+            m = int(r["m"])
+            if r["n_items"] > self._capacity_of(m):
+                new_m = m
+                while self._capacity_of(new_m) < 2 * r["n_items"]:
+                    new_m *= 2
+                grow[int(r["bucket"])] = new_m
+        if not grow:
+            return None
+        k = self.k
+
+        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["bucket"].iloc[0])
+            m2 = grow[b]
+            arr = np.zeros(m2 // 8, dtype=np.uint8)
+            h = np.unique(pdf["url_hash"].to_numpy())
+            _set_bits(arr, h, k, m2)
+            return pd.DataFrame(
+                {"bucket": [b], "filter": [arr.tobytes()],
+                 "n_items": [len(h)], "m": [m2], "k": [k]}  # n_items reset to truth
+            )
+
+        overflow = sorted(grow)
+        rebuilt = (
+            self._bucketed(frontier)
+            .where(F.col("bucket").isin(overflow))
+            .groupBy("bucket")
+            .applyInPandas(make, schema=SEG_SCHEMA)
+        )
+        kept = self.segments.where(~F.col("bucket").isin(overflow))
+        out = rebuilt.unionByName(kept)
+        self.segments = out
+        return out
+
+    # ---------------------------------------------------------------- query
+    def mark(self, candidates: DataFrame) -> DataFrame:
+        """candidates (must have ``url``) + a ``maybe`` column: Bloom probe
+        verdict per row (per-bucket geometry). The telemetry-friendly form —
+        one persist of this frame yields both halves of split() AND the
+        n_maybe/n_new counters without re-probing."""
+        assert self.segments is not None, "load/build first"
 
         def probe(key, cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(cand_pdf):
@@ -195,6 +258,7 @@ class SeenSet:
             if not len(seg_pdf):
                 maybe = np.zeros(len(cand_pdf), dtype=bool)
             else:
+                m, k = int(seg_pdf["m"].iloc[0]), int(seg_pdf["k"].iloc[0])
                 arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8)
                 maybe = _test_bits(arr, cand_pdf["url_hash"].to_numpy(), k, m)
             return pd.DataFrame({"url": cand_pdf["url"], "maybe": maybe})
@@ -206,8 +270,18 @@ class SeenSet:
             .applyInPandas(probe, schema="url string, maybe boolean")
         )
         joined = candidates.join(marks, "url", "left")
-        maybe_seen = joined.where(F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
-        definitely_new = joined.where(~F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
+        return joined.withColumn(
+            "maybe", F.coalesce(F.col("maybe"), F.lit(False))
+        )
+
+    def split(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """candidates (must have ``url``) → (maybe_seen, definitely_new).
+
+        definitely_new rows can skip the exact anti-join entirely — that is
+        the whole point of the filter at 10^10 scale."""
+        marked = self.mark(candidates)
+        maybe_seen = marked.where(F.col("maybe")).drop("maybe")
+        definitely_new = marked.where(~F.col("maybe")).drop("maybe")
         return maybe_seen, definitely_new
 
 
@@ -225,35 +299,33 @@ class CuckooSeen(SeenSet):
     stays the default for the pure-crawl path that never deletes.
     """
 
-    def _counters(self, seg_pdf: pd.DataFrame) -> np.ndarray:
-        if len(seg_pdf):
-            return np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
-        return np.zeros(self.m, dtype=np.uint8)  # one byte per counter slot
-
     def _segment_op(self, rows: DataFrame, delta: int) -> DataFrame:
         assert self.segments is not None, "load/build first"
-        m, k = self.m, self.k
+        m0, k0 = self.m, self.k
         apply_fn = _apply_counters  # module fn: a bound method would drag
         # self (and its segments DataFrame → SparkContext) into the closure
 
         def op(key, new_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
-            arr = (
-                np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
-                if len(seg_pdf) else np.zeros(m, dtype=np.uint8)
-            )
-            n = int(seg_pdf["n_items"].iloc[0]) if len(seg_pdf) else 0
+            if len(seg_pdf):
+                m, k = int(seg_pdf["m"].iloc[0]), int(seg_pdf["k"].iloc[0])
+                arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
+                n = int(seg_pdf["n_items"].iloc[0])
+            else:
+                m, k = m0, k0
+                arr = np.zeros(m, dtype=np.uint8)
+                n = 0
             if len(new_pdf):
                 apply_fn(arr, new_pdf["url_hash"].to_numpy(), delta, k, m)
             return pd.DataFrame(
                 {"bucket": [int(key[0])], "filter": [arr.tobytes()],
-                 "n_items": [max(0, n + delta * len(new_pdf))]}
+                 "n_items": [max(0, n + delta * len(new_pdf))], "m": [m], "k": [k]}
             )
 
         seg = (
             self._bucketed(rows)
             .groupby("bucket")
             .cogroup(self.segments.groupby("bucket"))
-            .applyInPandas(op, schema="bucket int, filter binary, n_items long")
+            .applyInPandas(op, schema=SEG_SCHEMA)
         )
         untouched = self.segments.join(
             self._bucketed(rows).select("bucket").distinct(), "bucket", "left_anti"
@@ -271,13 +343,11 @@ class CuckooSeen(SeenSet):
             apply_fn(arr, pdf["url_hash"].to_numpy(), 1, k, m)
             return pd.DataFrame(
                 {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [arr.tobytes()],
-                 "n_items": [len(pdf)]}
+                 "n_items": [len(pdf)], "m": [m], "k": [k]}
             )
 
-        seg = (
-            self._bucketed(frontier)
-            .groupBy("bucket")
-            .applyInPandas(make, schema="bucket int, filter binary, n_items long")
+        seg = self._bucketed(frontier).groupBy("bucket").applyInPandas(
+            make, schema=SEG_SCHEMA
         )
         self.segments = seg
         return seg
@@ -289,9 +359,8 @@ class CuckooSeen(SeenSet):
         """Delete urls from the seen set — the operation Bloom cannot do."""
         return self._segment_op(rows, -1)
 
-    def split(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def mark(self, candidates: DataFrame) -> DataFrame:
         assert self.segments is not None, "load/build first"
-        m, k = self.m, self.k
 
         def probe(key, cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(cand_pdf):
@@ -301,6 +370,7 @@ class CuckooSeen(SeenSet):
             if not len(seg_pdf):
                 maybe = np.zeros(len(cand_pdf), dtype=bool)
             else:
+                m, k = int(seg_pdf["m"].iloc[0]), int(seg_pdf["k"].iloc[0])
                 arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8)
                 maybe = np.ones(len(cand_pdf), dtype=bool)
                 h = cand_pdf["url_hash"].to_numpy()
@@ -315,6 +385,4 @@ class CuckooSeen(SeenSet):
             .applyInPandas(probe, schema="url string, maybe boolean")
         )
         joined = candidates.join(marks, "url", "left")
-        maybe_seen = joined.where(F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
-        definitely_new = joined.where(~F.coalesce(F.col("maybe"), F.lit(False))).drop("maybe")
-        return maybe_seen, definitely_new
+        return joined.withColumn("maybe", F.coalesce(F.col("maybe"), F.lit(False)))

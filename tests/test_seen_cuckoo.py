@@ -58,3 +58,67 @@ def test_bloom_cannot_delete_contract(spark):
     assert not hasattr(SeenSet, "removed") or not callable(
         getattr(SeenSet, "removed", None)
     )
+
+
+def test_bloom_overflow_rebuild(spark):
+    """VERDICT r01 item 5: a bucket whose n_items exceeds capacity is
+    rebuilt from the frontier with doubled m; FP rate recovers, no false
+    negatives ever, n_items resets to ground truth."""
+    s = SeenSet(n_buckets=2, fpp=0.01, capacity_per_bucket=64)
+    m0 = s.m
+    base = _urls(spark, [f"https://a.x.com/p/{i}" for i in range(40)])
+    s.build(base).persist().count()
+    assert s.maybe_rebuild(base) is None  # under capacity: no-op
+
+    # overflow both buckets well past capacity (64/bucket, ~400 keys total)
+    frontier = _urls(spark, [f"https://a.x.com/p/{i}" for i in range(400)])
+    s.merged(frontier).persist().count()
+    seg_before = {r["bucket"]: (r["n_items"], r["m"]) for r in
+                  s.segments.select("bucket", "n_items", "m").collect()}
+    assert any(n > 64 for n, _ in seg_before.values())
+
+    rebuilt = s.maybe_rebuild(frontier)
+    assert rebuilt is not None
+    rebuilt.persist().count()
+    seg_after = {r["bucket"]: (r["n_items"], r["m"], r["k"]) for r in
+                 s.segments.select("bucket", "n_items", "m", "k").collect()}
+    for b, (n, m, k) in seg_after.items():
+        assert m > m0  # grew
+        assert s._capacity_of(m) >= 2 * n  # headroom restored
+        assert k == s.k
+    # no false negatives after rebuild
+    maybe, new = s.split(frontier)
+    assert new.count() == 0
+    # FP rate on fresh urls is back near the configured fpp (not saturated)
+    fresh = _urls(spark, [f"https://b.y.com/q/{i}" for i in range(500)])
+    maybe_f, new_f = s.split(fresh)
+    fp_rate = maybe_f.count() / 500
+    assert fp_rate <= 0.05, fp_rate
+
+
+def test_crawl_emits_bloom_telemetry(spark, tmp_path):
+    """The crawl loop logs per-round probe counters under the _bloom
+    sentinel host (SURVEY.md §7 step 4)."""
+    from spider_spark import corpus, tables
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+
+    pages_pd = corpus.make_pages(n_pages=120, n_hosts=6, seed=5)
+    pages = spark.createDataFrame(pages_pd)
+    seeds_pd = corpus.make_seeds(pages_pd, n_seeds=2, include_missing=False)
+    seeds = list(zip(seeds_pd["url"], seeds_pd["depth"]))
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    s = crawl(spark, tmp_path / "wd", pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=6, use_bloom=True,
+                          bloom_buckets=4))
+    fl = tables.read_appended(spark, tmp_path / "wd", "fetch_log")
+    bloom = fl.where(F.col("host") == "_bloom").collect()
+    assert len(bloom) >= 1
+    for r in bloom:
+        assert r["partition_id"] == -1
+        assert r["n_claimed"] == r["n_fetched"] + r["n_missed"]  # maybe + new
+    # sentinel rows never reach per-host consumers
+    from spider_spark.round import policy_backoff
+    hosts = {r["host"] for r in policy_backoff(policy, fl, miss_threshold=-1.0)
+             .select("host").collect()}
+    assert "_bloom" not in hosts
