@@ -63,7 +63,8 @@ def crawl(
         seen = SeenSet(cfg.bloom_buckets, cfg.bloom_fpp) if cfg.use_bloom else None
         if seen is not None:
             tbls["seen_segments"] = seen.build(frontier0)
-        tables.write_snapshot(workdir, 0, tbls)
+        tables.write_snapshot(workdir, 0, tbls,
+                              partition_by={"frontier": ["status"]})
         start = 0
 
     rounds_run = 0
@@ -113,7 +114,11 @@ def crawl(
             # repartition, NOT coalesce: coalesce would propagate the tiny
             # partition count upstream and serialize the whole round
             tbls = {k: df.repartition(cfg.write_coalesce) for k, df in tbls.items()}
-        tables.write_snapshot(workdir, rnd, tbls)
+        # D5: frontier hive-partitioned by status — the hot `status='new'`
+        # scan (empty-check + next round's claim filter) prunes to the
+        # 'new' directory instead of re-reading done/failed/denied rows
+        tables.write_snapshot(workdir, rnd, tbls,
+                              partition_by={"frontier": ["status"]})
         if cfg.backoff_factor > 1.0:
             # B7: blocked hosts get slower budgets next round. Materialize
             # EAGERLY and AFTER the snapshot write (parsed is cache-hot and

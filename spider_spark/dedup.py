@@ -54,14 +54,31 @@ def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  restrict_pairs: DataFrame | None = None) -> DataFrame:
+                  restrict_pairs: DataFrame | None = None,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs via shingle self-join.
     Returns (a_id, b_id, jaccard). Join key = shingle ⇒ candidate set is
     docs sharing ≥1 shingle, not the full cross product.
 
     restrict_pairs (a_id, b_id): only verify these pairs — the LSH-verify
-    path, where the shingle join runs on the (tiny) candidate doc set."""
+    path, where the shingle join runs on the (tiny) candidate doc set.
+
+    max_df: drop shingles appearing in more than max_df documents BEFORE
+    anything downstream (the standard MinHash vocabulary cap — similarity
+    is then Jaccard over the capped shingle space). A stop-gram shared by
+    half the corpus otherwise contributes ~(corpus/2)² candidate rows on
+    its own; the cap bounds per-shingle join fan-out at max_df² while
+    leaving discriminative shingles — and the result on any corpus with no
+    hot shingles — untouched (test_pipeline_ops exercises both claims)."""
     sh = shingle_table(docs, n, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sh_j = sh
     if restrict_pairs is not None:
         cand_docs = (

@@ -67,6 +67,82 @@ def atr(high: Column, low: Column, close: Column, w: WindowSpec, n: int = 14) ->
     return rolling_mean(true_range(high, low, close, w), w, n)
 
 
+def gold_cross_volume(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    close: str = "close",
+    low: str = "low",
+    volume: str = "volume",
+    fast_n: int = 3,
+    slow_n: int = 7,
+    spike: float = 2.5,
+) -> DataFrame:
+    """F2-composed: the reference's gold_cross volume-spike screen
+    (crash_callback.py:164-185) — its only non-trivial window composition.
+
+    Per symbol: flag = 1 iff the LAST bar is a gold cross (MA_sign==1) and,
+    within the window from the most recent dead cross (inclusive) to the
+    end, the volume at the FIRST minimum-low bar is ≥ ``spike`` × the mean
+    volume of the bars before it (empty slice ⇒ no flag) — exactly the
+    list-index arithmetic of the reference, restated as conditional window
+    aggregates over a reverse row_number (no per-symbol collect; all
+    symbols in parallel).
+
+    Returns one row per key: (key, last_sign, dead_rn, ratio, flag) where
+    dead_rn is the from-the-end position of the latest dead cross (NULL if
+    none), ratio = volume_at_min·n_pre/Σ volume_pre (NULL when undefined;
+    exact-integer division so it is bit-identical cross-engine)."""
+    w = series_window(key, ts, id_col)
+    wdesc = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(id_col))
+    part = Window.partitionBy(key)
+    sign = crossover(
+        rolling_mean(F.col(close), w, fast_n), rolling_mean(F.col(close), w, slow_n), w
+    )
+    d = df.select(
+        key, F.col(low).alias("_low"), F.col(volume).alias("_vol"),
+        sign.alias("_sign"), F.row_number().over(wdesc).alias("_rnd"),
+    )
+    d = d.select(
+        key, "_low", "_vol", "_sign", "_rnd",
+        F.min(F.when(F.col("_sign") == 2, F.col("_rnd"))).over(part).alias("_drn"),
+        F.max(F.when(F.col("_rnd") == 1, F.col("_sign"))).over(part).alias("_last"),
+    )
+    d = d.withColumn("_inwin", F.col("_rnd") <= F.col("_drn"))
+    d = d.withColumn(
+        "_minlow", F.min(F.when(F.col("_inwin"), F.col("_low"))).over(part)
+    )
+    # first forward occurrence of the min = LARGEST reverse row number
+    d = d.withColumn(
+        "_mrn",
+        F.max(
+            F.when(F.col("_inwin") & (F.col("_low") == F.col("_minlow")), F.col("_rnd"))
+        ).over(part),
+    )
+    pre = F.col("_inwin") & (F.col("_rnd") > F.col("_mrn"))
+    agg = d.groupBy(key).agg(
+        F.max("_last").alias("last_sign"),
+        F.max("_drn").cast("int").alias("dead_rn"),
+        F.sum(F.when(pre, F.col("_vol"))).alias("_pre_sum"),
+        F.count(F.when(pre, F.lit(1))).alias("_pre_cnt"),
+        F.max(F.when(F.col("_rnd") == F.col("_mrn"), F.col("_vol"))).alias("_vol_at"),
+    )
+    ratio = F.when(
+        F.col("dead_rn").isNotNull() & (F.col("_pre_cnt") > 0),
+        (F.col("_vol_at") * F.col("_pre_cnt")) / F.col("_pre_sum"),
+    )
+    return agg.select(
+        key,
+        "last_sign",
+        "dead_rn",
+        F.round(ratio, 6).alias("ratio"),
+        F.when(
+            (F.col("last_sign") == 1) & ratio.isNotNull() & (ratio >= spike), 1
+        ).otherwise(0).alias("flag"),
+    )
+
+
 def sessionize(df: DataFrame, gap_seconds: int, key: str = "user_id",
                ts: str = "ts", id_col: str = "event_id") -> DataFrame:
     """Gap-based session assignment: a new session starts when the delta to

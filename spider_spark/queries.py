@@ -454,6 +454,68 @@ def crossover_signals(spark, sf_dir):
 
 
 @q(
+    "gold_cross_volume",
+    """
+    WITH k AS (SELECT event_id, user_id, ts, value AS close,
+                      value - (event_id % 5) AS low,
+                      1 + event_id % 97 AS volume
+               FROM events),
+    ma AS (SELECT *,
+             CASE WHEN count(*) OVER w3 >= 3 THEN avg(close) OVER w3 END AS f,
+             CASE WHEN count(*) OVER w7 >= 7 THEN avg(close) OVER w7 END AS s
+           FROM k
+           WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                  w7 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    sg AS (SELECT *, CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END AS above,
+                  lag(CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM ma),
+    s2 AS (SELECT user_id, low, volume,
+                  CASE WHEN prev IS NOT NULL AND above = 1 AND prev = 0 THEN 1
+                       WHEN prev IS NOT NULL AND above = 0 AND prev = 1 THEN 2
+                       ELSE 0 END AS sign,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+           FROM sg),
+    s3 AS (SELECT *, min(CASE WHEN sign = 2 THEN rnd END) OVER (PARTITION BY user_id) AS drn,
+                  max(CASE WHEN rnd = 1 THEN sign END) OVER (PARTITION BY user_id) AS last_sign
+           FROM s2),
+    s4 AS (SELECT *, (rnd <= drn) AS inwin FROM s3),
+    s5 AS (SELECT *, min(CASE WHEN inwin THEN low END) OVER (PARTITION BY user_id) AS minlow FROM s4),
+    s6 AS (SELECT *, max(CASE WHEN inwin AND low = minlow THEN rnd END) OVER (PARTITION BY user_id) AS mrn FROM s5),
+    agg AS (SELECT user_id,
+                   max(last_sign)::INT AS last_sign,
+                   max(drn)::INT AS dead_rn,
+                   sum(CASE WHEN inwin AND rnd > mrn THEN volume END)::BIGINT AS pre_sum,
+                   count(CASE WHEN inwin AND rnd > mrn THEN 1 END)::BIGINT AS pre_cnt,
+                   max(CASE WHEN rnd = mrn THEN volume END)::BIGINT AS vol_at
+            FROM s6 GROUP BY user_id)
+    SELECT user_id, last_sign, dead_rn,
+           round(CASE WHEN dead_rn IS NOT NULL AND pre_cnt > 0
+                      THEN (vol_at * pre_cnt)::DOUBLE / pre_sum::DOUBLE END, 6) AS ratio,
+           CASE WHEN last_sign = 1 AND dead_rn IS NOT NULL AND pre_cnt > 0
+                     AND (vol_at * pre_cnt)::DOUBLE / pre_sum::DOUBLE >= 2.5
+                THEN 1 ELSE 0 END AS flag
+    FROM agg
+    """,
+)
+def gold_cross_volume(spark, sf_dir):
+    """F2-composed (crash_callback.py:164-185): gold cross at the last bar +
+    volume ≥ 2.5× the running mean since the latest dead cross, at the
+    first minimum-low bar — the reference's only non-trivial window
+    composition, VERDICT r01 item 6. Synthetic kline from events: close =
+    value, low = value - (event_id % 5), volume = 1 + event_id % 97 (the
+    ratio stays exact-integer-derived, bit-identical cross-engine)."""
+    ev = T(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("close"),
+        (F.col("value") - F.col("event_id") % 5).alias("low"),
+        (F.lit(1) + F.col("event_id") % 97).alias("volume"),
+    )
+    return kline.gold_cross_volume(k, fast_n=3, slow_n=7, spike=2.5)
+
+
+@q(
     "atr_true_range",
     """
     WITH k AS (SELECT event_id, user_id, ts, value + 1 AS high, value - 1 AS low, value AS close FROM events),
@@ -647,6 +709,89 @@ def weibo_field_map(spark, sf_dir):
     j = ev.select("event_id", payload.alias("payload"))
     projected = j.select("event_id", *parse.project_weibo_user(F.col("payload")))
     return projected.select("event_id", "uid", "nickname", "verified", "fans", "weibos")
+
+
+_ZHIHU_ORACLE = """
+    SELECT 'u' || doc_id::VARCHAR AS url_token,
+           source || '-n' AS name,
+           CASE WHEN doc_id % 2 = 0 THEN n_chars + 7 ELSE n_chars END AS answer_count,
+           2::INT AS n_educations,
+           'S' || (doc_id % 7)::VARCHAR AS first_school,
+           '城市' || (doc_id % 13)::VARCHAR AS location0,
+           'C' || (doc_id % 17)::VARCHAR AS company0,
+           CASE WHEN doc_id % 2 = 0
+                THEN (doc_id + 1)::VARCHAR || ',' || (doc_id + 2)::VARCHAR || ',' || (doc_id + 3)::VARCHAR
+                ELSE (doc_id + 1)::VARCHAR || ',' || (doc_id + 2)::VARCHAR END AS follows
+    FROM documents
+"""
+
+
+@q("zhihu_user_items", _ZHIHU_ORACLE)
+def zhihu_user_items(spark, sf_dir):
+    """The nested-array item family end-to-end (VERDICT r01 item 7):
+    zhihuuser items.py:86-91 carries locations/educations/employments as
+    raw JSON arrays-of-objects and zhihu.py:51-65 copy-projects every
+    matching field; weibo/pipelines.py:74-82 merges relation arrays with
+    $addToSet/$each and upserts scalars by id.
+
+    Spark shape: synthesize two observation rounds of the user JSON per
+    doc, parse ONCE with from_json into ArrayType(StructType) columns (C7,
+    fully JVM-side), then D2 latest-wins window for scalars + D3 addToSet
+    (flatten → array_distinct → array_sort) for the follows relation. The
+    oracle reconstructs every planted value straight from documents."""
+    did = F.col("doc_id")
+    answer = F.when(F.col("round") == 2, F.col("n_chars") + 7).otherwise(F.col("n_chars"))
+    follows = F.when(
+        F.col("round") == 2,
+        F.concat((did + 2).cast("string"), F.lit(","), (did + 3).cast("string")),
+    ).otherwise(F.concat((did + 1).cast("string"), F.lit(","), (did + 2).cast("string")))
+    js = F.concat(
+        F.lit('{"url_token":"u'), did.cast("string"),
+        F.lit('","name":"'), F.col("source"), F.lit('-n"'),
+        F.lit(',"answer_count":'), answer.cast("string"),
+        F.lit(',"gender":'), (did % 3).cast("string"),
+        F.lit(',"locations":[{"name":"城市'), (did % 13).cast("string"), F.lit('"}]'),
+        F.lit(',"educations":[{"school":"S'), (did % 7).cast("string"),
+        F.lit('","major":"M'), (did % 5).cast("string"),
+        F.lit('"},{"school":"S'), (did % 11).cast("string"),
+        F.lit('","major":"M'), (did % 3).cast("string"), F.lit('"}]'),
+        F.lit(',"employments":[{"company":"C'), (did % 17).cast("string"),
+        F.lit('","job":"J'), (did % 5).cast("string"), F.lit('"}]'),
+        F.lit(',"follows":['), follows, F.lit("]}"),
+    )
+    obs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", F.explode(F.array(F.lit(1), F.lit(2))).alias("round"))
+        # round 2 re-observes only even users — odd users keep round-1 state
+        .where((F.col("round") == 1) | (did % 2 == 0))
+        .withColumn("js", js)
+    )
+    schema = (
+        "url_token string, name string, answer_count long, gender long, "
+        "locations array<struct<name:string>>, "
+        "educations array<struct<school:string,major:string>>, "
+        "employments array<struct<company:string,job:string>>, "
+        "follows array<long>"
+    )
+    p = obs.select("round", F.from_json("js", schema).alias("u")).select("round", "u.*")
+    w = Window.partitionBy("url_token").orderBy(F.desc("round"))
+    latest = (
+        p.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url_token", "name", "answer_count",
+            F.size("educations").alias("n_educations"),
+            F.col("educations")[0]["school"].alias("first_school"),
+            F.col("locations")[0]["name"].alias("location0"),
+            F.col("employments")[0]["company"].alias("company0"),
+        )
+    )
+    add_to_set = p.groupBy("url_token").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("follows")))), ","
+        ).alias("follows")
+    )
+    return latest.join(add_to_set, "url_token")
 
 
 @q(

@@ -40,8 +40,13 @@ def _round_dir(workdir: str | Path, round_no: int) -> Path:
 
 def write_snapshot(
     workdir: str | Path, round_no: int, tables: dict[str, DataFrame],
-    stats: dict | None = None,
+    stats: dict | None = None, partition_by: dict[str, list[str]] | None = None,
 ) -> None:
+    """``partition_by`` maps table name → hive partition columns (D5): the
+    crawl loop writes the frontier partitioned by ``status``, so the next
+    round's ``status='new'`` scans prune to one directory instead of
+    reading every row back (PLANS.md carries the explain evidence — the
+    Iceberg partition-spec analog)."""
     rdir = _round_dir(workdir, round_no)
     # concurrent writes: each table write is a separate Spark job whose
     # scheduling latency would otherwise serialize; the manifest below is
@@ -50,7 +55,11 @@ def write_snapshot(
 
     def write_one(item):
         name, df = item
-        df.write.mode("overwrite").parquet(str(rdir / name))
+        w = df.write.mode("overwrite")
+        cols = (partition_by or {}).get(name)
+        if cols:
+            w = w.partitionBy(*cols)
+        w.parquet(str(rdir / name))
 
     with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
         list(pool.map(write_one, tables.items()))

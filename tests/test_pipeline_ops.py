@@ -197,3 +197,77 @@ def test_lsh_topk_recall_contract(spark, emb):
     assert mean_recall >= 0.9, mean_recall
     tuned = vectorops.lsh_recall_at_k(emb, q, k=5, n_bits=2, dim=64, n_tables=12)
     assert all(r.recall == 1.0 for r in tuned.collect())
+
+
+def test_gold_cross_volume_flag_fires(spark):
+    """Constructed series exercising the flag=1 branch the sf fixture never
+    hits (crash_callback.py:164-185): gold cross at the last bar, dead
+    cross mid-series, volume at the min-low bar >= 2.5x the mean before it."""
+    from spider_spark import kline
+
+    closes = [10.0] * 7 + [20.0, 5.0, 5.0, 5.0, 5.0, 5.0, 30.0]
+    lows = list(closes)
+    lows[11] = 1.0                      # min low inside the post-dead window
+    vols = [10] * len(closes)
+    vols[11] = 30                       # spike: 30 >= 2.5 * mean(10,10)
+    rows = [(i, 1, i, closes[i], lows[i], vols[i]) for i in range(len(closes))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, close double, low double, volume long"
+    )
+    out = kline.gold_cross_volume(df, fast_n=3, slow_n=7, spike=2.5).collect()[0]
+    assert out["last_sign"] == 1 and out["flag"] == 1, out.asDict()
+    assert out["ratio"] == 3.0
+
+    # negative control: weaker spike leaves the flag down
+    vols[11] = 20
+    rows = [(i, 1, i, closes[i], lows[i], vols[i]) for i in range(len(closes))]
+    df2 = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, close double, low double, volume long"
+    )
+    out2 = kline.gold_cross_volume(df2, fast_n=3, slow_n=7, spike=2.5).collect()[0]
+    assert out2["flag"] == 0 and out2["last_sign"] == 1
+
+
+def test_nested_item_family_through_snapshot_sink(spark, tmp_path):
+    """VERDICT r01 item 7, sink half: ArrayType(StructType) items flow
+    through the append-only snapshot sink and come back from the D2
+    latest-wins merge-on-read view with nested arrays intact."""
+    from spider_spark import tables
+
+    def items(round_no, answer, schools):
+        rows = [("tok1", f"md5-1", round_no, answer,
+                 [{"school": s, "major": "M"} for s in schools])]
+        return spark.createDataFrame(
+            rows,
+            "url_token string, url_md5 string, fetched_round int, "
+            "answer_count long, educations array<struct<school:string,major:string>>",
+        )
+
+    tables.write_snapshot(tmp_path / "wd", 1, {"items": items(1, 10, ["A"])})
+    tables.write_snapshot(tmp_path / "wd", 2, {"items": items(2, 17, ["A", "B"])})
+    latest = tables.read_items_latest(spark, tmp_path / "wd").collect()
+    assert len(latest) == 1
+    r = latest[0]
+    assert r["fetched_round"] == 2 and r["answer_count"] == 17
+    assert [e["school"] for e in r["educations"]] == ["A", "B"]
+
+
+def test_jaccard_max_df_caps_hot_shingles(spark, docs):
+    """max_df bounds hot-shingle fan-out: a stop-gram shared by every doc
+    generates quadratic candidates uncapped and zero once capped; on a
+    corpus with no hot shingles the capped result is identical."""
+    # 40 docs sharing one hot 3-gram, otherwise disjoint
+    rows = [(i, "the quick fox " + f"u{i} v{i} w{i} x{i}") for i in range(40)]
+    hotc = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.jaccard_pairs(hotc, threshold=0.01).count()
+    capped = dedup.jaccard_pairs(hotc, threshold=0.01, max_df=10).count()
+    assert uncapped == 40 * 39 // 2  # every pair shares 'the quick fox'
+    assert capped == 0               # hot shingle dropped => no candidates
+    # no-hot-shingle corpus: cap is a no-op on the RESULT
+    small = docs.where(F.col("doc_id") < 60)
+    base = {(r.a_id, r.b_id) for r in dedup.jaccard_pairs(small, 0.8).collect()}
+    with_cap = {
+        (r.a_id, r.b_id)
+        for r in dedup.jaccard_pairs(small, 0.8, max_df=1000).collect()
+    }
+    assert base == with_cap
