@@ -42,10 +42,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_bucketed",
     "ann_topk",
     "ann_lsh_topk",
     "media_meta",
     "pagerank_ranks",
+    "qcc_xpath_fields",      # round 2: DOM XPath extraction over messy html
+    "css_select_fields",     # round 2: CSS-selector extraction
+    "gold_cross_volume",     # round 2: composed window screen
+    "zhihu_user_items",      # round 2: nested-array item family
 ]
 
 

@@ -106,7 +106,9 @@ def main() -> None:
 
     workdir = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
     cfg = CrawlConfig(max_rounds=n_rounds, use_bloom=True, bloom_buckets=32, n_salt=8,
-                      seq_mode="hash")
+                      seq_mode="hash",
+                      partition_frontier=os.environ.get("BENCH_PARTITION", "true") == "true",
+                      bloom_telemetry=os.environ.get("BENCH_TELEMETRY", "true") == "true")
     # one-time seed injection + Bloom build + snapshot 0, excluded from the
     # measured window — the metric is steady-state crawl-loop throughput
     from dataclasses import replace

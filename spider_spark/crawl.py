@@ -59,21 +59,45 @@ def crawl(
             frontier0 = seeds_frontier_df(seeds)  # distributed seed injection
         else:
             frontier0 = seeds_to_frontier(spark, seeds)
+        frontier0 = frontier0.persist()
         tbls = {"frontier": frontier0}
         seen = SeenSet(cfg.bloom_buckets, cfg.bloom_fpp) if cfg.use_bloom else None
         if seen is not None:
-            tbls["seen_segments"] = seen.build(frontier0)
-        tables.write_snapshot(workdir, 0, tbls,
-                              partition_by={"frontier": ["status"]})
+            tbls["seen_segments"] = seen.build(frontier0).persist()
+
+        def stats0():
+            out = {"by_status": {"new": frontier0.count()}}
+            out["n_new"] = out["by_status"]["new"]
+            if seen is not None:
+                out["seen"] = seen.seg_stats()
+            return out
+
+        pb = {"frontier": ["status"]} if cfg.partition_frontier else None
+        tables.write_snapshot(workdir, 0, tbls, partition_by=pb,
+                              stats_fn=stats0)
+        for df in tbls.values():
+            df.unpersist()
         start = 0
+
+    # stats ride the manifest: the next round's empty-frontier check and
+    # the Bloom overflow decision cost zero Spark jobs (they were computed
+    # cache-hot during the previous round's write phase)
+    prev_stats: dict = (tables.read_manifest(workdir, start) or {}).get("stats", {})
 
     rounds_run = 0
     rnd = start
     for rnd in range(start + 1, cfg.max_rounds + 1):
-        frontier = tables.read_table(spark, workdir, rnd - 1, "frontier")
-        if frontier.where(F.col("status") == "new").limit(1).count() == 0:
+        n_new_prev = prev_stats.get("n_new")
+        if n_new_prev == 0:
+            # checked BEFORE the read: an all-empty partitioned frontier
+            # (empty seed list) leaves no schema-bearing files to read
             rnd -= 1
             break
+        frontier = tables.read_table(spark, workdir, rnd - 1, "frontier")
+        if n_new_prev is None:  # legacy manifest: partition-pruned probe
+            if frontier.where(F.col("status") == "new").limit(1).count() == 0:
+                rnd -= 1
+                break
 
         seen_mark = None
         seen = None
@@ -81,6 +105,15 @@ def crawl(
             seen = SeenSet.load(
                 spark, workdir, rnd - 1,
                 n_buckets=cfg.bloom_buckets, fpp=cfg.bloom_fpp,
+            )
+            # overflow decision from the manifest stats (no job); any
+            # overflowed bucket is rebuilt from the frontier with doubled m
+            # before this round's probes, so degraded FP geometry lasts at
+            # most the round that overflowed it
+            seg_stats = prev_stats.get("seen")
+            seen.maybe_rebuild(
+                frontier,
+                stats=[tuple(s) for s in seg_stats] if seg_stats else None,
             )
             seen_mark = seen.mark
 
@@ -103,22 +136,33 @@ def crawl(
         if seen is not None:
             new_urls = result.frontier.where(F.col("discovered_round") == rnd)
             seg = seen.merged(new_urls).persist()
-            # overflow check (one n_buckets-row collect over the persisted
-            # merge); any overflowed bucket is rebuilt from the frontier
-            # with doubled m BEFORE the snapshot write, so the written
-            # segments never carry a degraded-FP geometry forward
-            rebuilt = seen.maybe_rebuild(result.frontier)
-            tbls["seen_segments"] = rebuilt if rebuilt is not None else seg
+            tbls["seen_segments"] = seg
             result.cached.append(seg)
         if cfg.write_coalesce > 0:
             # repartition, NOT coalesce: coalesce would propagate the tiny
             # partition count upstream and serialize the whole round
             tbls = {k: df.repartition(cfg.write_coalesce) for k, df in tbls.items()}
+
+        def round_stats():
+            # runs inside the write phase, everything cache-hot: one tiny
+            # groupBy on the persisted frontier (feeds next round's empty
+            # check AND the final summary) + the n_buckets-row seg stats
+            by_status = {
+                r["status"]: r["count"]
+                for r in result.frontier.groupBy("status").count().collect()
+            }
+            out = {"by_status": by_status, "n_new": by_status.get("new", 0)}
+            if seen is not None:
+                out["seen"] = seen.seg_stats()
+            return out
+
         # D5: frontier hive-partitioned by status — the hot `status='new'`
         # scan (empty-check + next round's claim filter) prunes to the
         # 'new' directory instead of re-reading done/failed/denied rows
-        tables.write_snapshot(workdir, rnd, tbls,
-                              partition_by={"frontier": ["status"]})
+        pb = {"frontier": ["status"]} if cfg.partition_frontier else None
+        tables.write_snapshot(workdir, rnd, tbls, partition_by=pb,
+                              stats_fn=round_stats)
+        prev_stats = (tables.read_manifest(workdir, rnd) or {}).get("stats", {})
         if cfg.backoff_factor > 1.0:
             # B7: blocked hosts get slower budgets next round. Materialize
             # EAGERLY and AFTER the snapshot write (parsed is cache-hot and
@@ -134,12 +178,14 @@ def crawl(
             df.unpersist()
         rounds_run += 1
 
-    final = tables.read_table(spark, workdir, rnd, "frontier")
-    by_status = dict(final.groupBy("status").count().collect())
+    by_status = prev_stats.get("by_status")
+    if by_status is None:  # legacy manifests
+        final = tables.read_table(spark, workdir, rnd, "frontier")
+        by_status = dict(final.groupBy("status").count().collect())
     return CrawlSummary(
         rounds_run=rounds_run,
         last_round=rnd,
-        n_urls=final.count(),
+        n_urls=sum(by_status.values()),
         n_done=by_status.get("done", 0),
         n_failed=by_status.get("failed", 0),
         n_denied=by_status.get("denied", 0),

@@ -65,6 +65,8 @@ class CrawlConfig:
                                 # small-corpus regime; leave 0 on a cluster
     backoff_factor: float = 1.0  # >1: B7 host backoff (policy_backoff) after
                                  # each round for hosts with >50% misses
+    partition_frontier: bool = True  # D5: hive-partition frontier by status
+    bloom_telemetry: bool = True     # _bloom probe counters into fetch_log
     seq_mode: str = "global"    # "global": dense global discovery rank —
                                 # exact parity with the reference's single
                                 # FIFO frontier (3 extra jobs/round).
@@ -312,7 +314,9 @@ def run_round(
     if seen_mark is not None:
         # one persisted probe pass yields both split halves AND the
         # n_candidates/n_maybe/n_new telemetry counters without re-probing
-        marked = seen_mark(agg).persist()
+        marked = seen_mark(agg)
+        if cfg.bloom_telemetry:
+            marked = marked.persist()
         maybe_seen = marked.where(F.col("maybe")).drop("maybe")
         definitely_new = marked.where(~F.col("maybe")).drop("maybe")
         survivors = definitely_new.unionByName(
@@ -413,7 +417,7 @@ def run_round(
                 "n_claimed", "n_fetched", "n_missed")
     )
     cached = [parsed, agg, frontier_next]
-    if marked is not None:
+    if marked is not None and cfg.bloom_telemetry:
         # FP-rate telemetry (SURVEY.md §7 step 4): one sentinel row per
         # round under host='_bloom', partition_id=-1 — n_claimed=candidates
         # probed, n_fetched=maybe-seen, n_missed=definitely-new. FP rate ≈

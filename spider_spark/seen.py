@@ -199,22 +199,35 @@ class SeenSet:
         self.segments = out
         return out
 
-    def maybe_rebuild(self, frontier: DataFrame) -> DataFrame | None:
+    def seg_stats(self) -> list[tuple[int, int, int]]:
+        """(bucket, n_items, m) triples — the rebuild decision input. The
+        crawl loop collects this once per round during the (cache-hot)
+        snapshot write phase and carries it in the manifest, so the next
+        round decides overflow without any Spark job."""
+        assert self.segments is not None, "load/build first"
+        return [
+            (int(r["bucket"]), int(r["n_items"]), int(r["m"]))
+            for r in self.segments.select("bucket", "n_items", "m").collect()
+        ]
+
+    def maybe_rebuild(
+        self, frontier: DataFrame, stats: list[tuple[int, int, int]] | None = None
+    ) -> DataFrame | None:
         """Rebuild any bucket whose n_items exceeds its capacity, from the
         frontier, with m doubled until capacity ≥ 2·n_items (k is m/capacity
-        -scaled so it stays constant). Cost when nothing overflows: one
-        n_buckets-row collect. Returns the new segments or None if no
-        bucket overflowed."""
+        -scaled so it stays constant). ``stats`` may be supplied from a
+        prior manifest (zero-job decision); otherwise one n_buckets-row
+        collect. Returns the new segments or None if no bucket overflowed."""
         assert self.segments is not None, "load/build first"
-        stats = self.segments.select("bucket", "n_items", "m").collect()
+        if stats is None:
+            stats = self.seg_stats()
         grow: dict[int, int] = {}
-        for r in stats:
-            m = int(r["m"])
-            if r["n_items"] > self._capacity_of(m):
+        for bucket, n_items, m in stats:
+            if n_items > self._capacity_of(m):
                 new_m = m
-                while self._capacity_of(new_m) < 2 * r["n_items"]:
+                while self._capacity_of(new_m) < 2 * n_items:
                     new_m *= 2
-                grow[int(r["bucket"])] = new_m
+                grow[int(bucket)] = new_m
         if not grow:
             return None
         k = self.k

@@ -41,12 +41,19 @@ def _round_dir(workdir: str | Path, round_no: int) -> Path:
 def write_snapshot(
     workdir: str | Path, round_no: int, tables: dict[str, DataFrame],
     stats: dict | None = None, partition_by: dict[str, list[str]] | None = None,
+    stats_fn=None,
 ) -> None:
     """``partition_by`` maps table name → hive partition columns (D5): the
     crawl loop writes the frontier partitioned by ``status``, so the next
     round's ``status='new'`` scans prune to one directory instead of
     reading every row back (PLANS.md carries the explain evidence — the
-    Iceberg partition-spec analog)."""
+    Iceberg partition-spec analog).
+
+    ``stats_fn()`` (optional) runs AFTER the table writes and BEFORE the
+    manifest commit; its dict is merged into manifest ``stats``. The crawl
+    loop uses it to fold the next round's empty-frontier check and the
+    Bloom overflow stats into this round's (cache-hot) write phase —
+    replacing two cold per-round Spark jobs with manifest reads."""
     rdir = _round_dir(workdir, round_no)
     # concurrent writes: each table write is a separate Spark job whose
     # scheduling latency would otherwise serialize; the manifest below is
@@ -63,7 +70,10 @@ def write_snapshot(
 
     with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
         list(pool.map(write_one, tables.items()))
-    manifest = {"round": round_no, "tables": sorted(tables), "stats": stats or {}}
+    stats = dict(stats or {})
+    if stats_fn is not None:
+        stats.update(stats_fn())
+    manifest = {"round": round_no, "tables": sorted(tables), "stats": stats}
     tmp = rdir / "manifest.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.rename(rdir / "manifest.json")  # commit point

@@ -29,6 +29,8 @@ SUBSET = [
     "ann_topk",
     "media_meta",
     "pagerank_ranks",
+    "qcc_xpath_fields",   # round 2: DOM XPath structural extraction
+    "gold_cross_volume",  # round 2: composed window screen
 ]
 
 
@@ -57,5 +59,7 @@ def test_rows_only_queries_run(spark):
 
 def test_registry_contract():
     assert set(ORACLES) <= set(QUERIES)
-    # every oracle-less query is an explicitly approximate/iterative op
-    assert set(QUERIES) - set(ORACLES) == {"ann_lsh_topk"}
+    # round 2: every query carries a value-level oracle — even the
+    # approximate ANN (its multi-probe config reaches full recall on the
+    # fixture, so the exact top-k SQL is its oracle)
+    assert set(QUERIES) == set(ORACLES)
