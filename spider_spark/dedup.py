@@ -333,7 +333,7 @@ def embedding_dup_pairs_blocked(
         F.least("blk", "j").alias("gi"), F.greatest("blk", "j").alias("gj"),
     )
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key, pdf):
         gi, gj = int(key[0]), int(key[1])
         ids = pdf["id"].to_numpy()
         mat = np.array(list(pdf["v"]), dtype=np.float64)

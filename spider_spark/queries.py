@@ -711,6 +711,36 @@ def weibo_field_map(spark, sf_dir):
     return projected.select("event_id", "uid", "nickname", "verified", "fans", "weibos")
 
 
+@q(
+    "sql_ddl_roundtrip",
+    """
+    SELECT doc_id, upper(source) AS src_up, n_chars
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def sql_ddl_roundtrip(spark, sf_dir):
+    """D6: SQL DDL + INSERT + read-back through the session catalog — the
+    reference's MySQL table-create/insert sinks (拉钩 position tables;
+    Meituan pipelines) as Spark SQL DDL over a parquet-backed catalog
+    table. Exercises the pure-SQL API surface end-to-end: CREATE TEMP VIEW
+    → CREATE TABLE USING parquet → INSERT OVERWRITE → SELECT."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _docs_v AS "
+        f"SELECT * FROM parquet.`{sf_dir}/documents.parquet`"
+    )
+    loc = tempfile.mkdtemp(prefix="ddl_roundtrip_")
+    spark.sql("DROP TABLE IF EXISTS lagou_positions")
+    spark.sql(
+        "CREATE TABLE lagou_positions (doc_id BIGINT, src_up STRING, n_chars BIGINT) "
+        f"USING parquet LOCATION '{loc}/lagou_positions'"
+    )
+    spark.sql(
+        "INSERT OVERWRITE TABLE lagou_positions "
+        "SELECT doc_id, upper(source), n_chars FROM _docs_v WHERE doc_id < 100"
+    )
+    return spark.sql("SELECT doc_id, src_up, n_chars FROM lagou_positions")
+
+
 _ZHIHU_ORACLE = """
     SELECT 'u' || doc_id::VARCHAR AS url_token,
            source || '-n' AS name,

@@ -140,7 +140,7 @@ class SeenSet:
         """Build segments from scratch over all frontier URLs."""
         m, k = self.m, self.k
 
-        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        def make(pdf):
             arr = np.zeros(m // 8, dtype=np.uint8)
             h = np.unique(pdf["url_hash"].to_numpy())
             _set_bits(arr, h, k, m)
@@ -161,7 +161,7 @@ class SeenSet:
         assert self.segments is not None, "load/build first"
         m0, k0 = self.m, self.k
 
-        def merge(key, new_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        def merge(key, new_pdf, seg_pdf):
             if len(seg_pdf):
                 m, k = int(seg_pdf["m"].iloc[0]), int(seg_pdf["k"].iloc[0])
                 arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
@@ -232,7 +232,7 @@ class SeenSet:
             return None
         k = self.k
 
-        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        def make(pdf):
             b = int(pdf["bucket"].iloc[0])
             m2 = grow[b]
             arr = np.zeros(m2 // 8, dtype=np.uint8)
@@ -263,7 +263,7 @@ class SeenSet:
         n_maybe/n_new counters without re-probing."""
         assert self.segments is not None, "load/build first"
 
-        def probe(key, cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        def probe(key, cand_pdf, seg_pdf):
             if not len(cand_pdf):
                 return pd.DataFrame({"url": [], "maybe": []}).astype(
                     {"url": str, "maybe": bool}
@@ -318,7 +318,7 @@ class CuckooSeen(SeenSet):
         apply_fn = _apply_counters  # module fn: a bound method would drag
         # self (and its segments DataFrame → SparkContext) into the closure
 
-        def op(key, new_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        def op(key, new_pdf, seg_pdf):
             if len(seg_pdf):
                 m, k = int(seg_pdf["m"].iloc[0]), int(seg_pdf["k"].iloc[0])
                 arr = np.frombuffer(seg_pdf["filter"].iloc[0], dtype=np.uint8).copy()
@@ -351,7 +351,7 @@ class CuckooSeen(SeenSet):
         m, k = self.m, self.k
         apply_fn = _apply_counters
 
-        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        def make(pdf):
             arr = np.zeros(m, dtype=np.uint8)
             apply_fn(arr, pdf["url_hash"].to_numpy(), 1, k, m)
             return pd.DataFrame(
@@ -372,10 +372,51 @@ class CuckooSeen(SeenSet):
         """Delete urls from the seen set — the operation Bloom cannot do."""
         return self._segment_op(rows, -1)
 
+    def maybe_rebuild(self, frontier: DataFrame, stats=None) -> DataFrame | None:
+        """Counter-segment rebuild (the inherited Bloom version would write
+        BIT segments into a counter table — wrong layout)."""
+        assert self.segments is not None, "load/build first"
+        if stats is None:
+            stats = self.seg_stats()
+        grow: dict[int, int] = {}
+        for bucket, n_items, m in stats:
+            if n_items > self._capacity_of(m):
+                new_m = m
+                while self._capacity_of(new_m) < 2 * n_items:
+                    new_m *= 2
+                grow[int(bucket)] = new_m
+        if not grow:
+            return None
+        k = self.k
+        apply_fn = _apply_counters
+
+        def make(pdf):
+            b = int(pdf["bucket"].iloc[0])
+            m2 = grow[b]
+            arr = np.zeros(m2, dtype=np.uint8)  # one byte per counter slot
+            h = np.unique(pdf["url_hash"].to_numpy())
+            apply_fn(arr, h, 1, k, m2)
+            return pd.DataFrame(
+                {"bucket": [b], "filter": [arr.tobytes()],
+                 "n_items": [len(h)], "m": [m2], "k": [k]}
+            )
+
+        overflow = sorted(grow)
+        rebuilt = (
+            self._bucketed(frontier)
+            .where(F.col("bucket").isin(overflow))
+            .groupBy("bucket")
+            .applyInPandas(make, schema=SEG_SCHEMA)
+        )
+        kept = self.segments.where(~F.col("bucket").isin(overflow))
+        out = rebuilt.unionByName(kept)
+        self.segments = out
+        return out
+
     def mark(self, candidates: DataFrame) -> DataFrame:
         assert self.segments is not None, "load/build first"
 
-        def probe(key, cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        def probe(key, cand_pdf, seg_pdf):
             if not len(cand_pdf):
                 return pd.DataFrame({"url": [], "maybe": []}).astype(
                     {"url": str, "maybe": bool}

@@ -85,6 +85,71 @@ def stream_crawl(
     return writer.start()
 
 
+def stateful_host_progress(
+    spark: SparkSession,
+    ingest_dir: str | Path,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-host cumulative crawl accounting that survives across micro-batches
+    and restarts (state lives in the checkpoint).
+
+    The reference keeps this state in Redis counters poked per URL
+    (mongo_redis_mgr.py status hashes; master.py progress prints); the
+    Spark-native shape is grouped state — one state row per host holding
+    (pages_total, bytes_total, first/last event-time seen), updated from
+    Arrow batches, emitted in update mode each trigger. This is the
+    ``applyInPandasWithState`` surface the north-star architecture calls
+    for where watermark+window aggregation (host_fetch_rates) can't
+    express the semantics (running totals have no window close).
+    Returns an unstarted streaming DataFrame; sink with writeStream
+    (outputMode('update')).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(ingest_dir))
+    host = F.coalesce(
+        F.lower(F.try_parse_url("url", F.lit("HOST"))), F.lit("unknown")
+    ).alias("host")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n_pages, n_bytes, first_ts, last_ts = state.get
+        else:
+            n_pages, n_bytes, first_ts, last_ts = 0, 0, None, None
+        for pdf in pdfs:
+            n_pages += len(pdf)
+            n_bytes += int(pdf["html"].map(lambda b: len(b) if b is not None else 0).sum())
+            ts = pdf["warc_ts"].dropna()
+            if len(ts):
+                lo, hi = ts.min(), ts.max()
+                first_ts = lo if first_ts is None else min(first_ts, lo)
+                last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((n_pages, n_bytes, first_ts, last_ts))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_pages": [n_pages], "n_bytes": [n_bytes],
+             "first_ts": [first_ts], "last_ts": [last_ts]}
+        )
+
+    return (
+        stream.select(host, "warc_ts", "html")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType="host string, n_pages long, n_bytes long, "
+                             "first_ts timestamp, last_ts timestamp",
+            stateStructType="n_pages long, n_bytes long, "
+                            "first_ts timestamp, last_ts timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def host_fetch_rates(
     spark: SparkSession,
     ingest_dir: str | Path,

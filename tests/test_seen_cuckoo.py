@@ -122,3 +122,23 @@ def test_crawl_emits_bloom_telemetry(spark, tmp_path):
     hosts = {r["host"] for r in policy_backoff(policy, fl, miss_threshold=-1.0)
              .select("host").collect()}
     assert "_bloom" not in hosts
+
+
+def test_cuckoo_overflow_rebuild_keeps_delete_semantics(spark):
+    """CuckooSeen's rebuild must produce COUNTER segments (the Bloom-bit
+    layout would corrupt them): after an overflow rebuild, membership holds
+    and remove() still works."""
+    s = CuckooSeen(n_buckets=2, fpp=0.01, capacity_per_bucket=64)
+    frontier = _urls(spark, [f"https://c.z.com/p/{i}" for i in range(300)])
+    s.build(frontier).persist().count()
+    rebuilt = s.maybe_rebuild(frontier)
+    assert rebuilt is not None
+    rebuilt.persist().count()
+    # no false negatives post-rebuild
+    maybe, new = s.split(frontier)
+    assert new.count() == 0
+    # deletions still function on the rebuilt counters
+    gone = _urls(spark, [f"https://c.z.com/p/{i}" for i in range(5)])
+    s.removed(gone).persist().count()
+    _, new2 = s.split(gone)
+    assert new2.count() >= 4

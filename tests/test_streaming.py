@@ -77,3 +77,48 @@ def test_host_fetch_rates_watermark(spark, tmp_path):
     assert {r.host for r in got.select("host").distinct().collect()} <= {
         u.split("/")[2].lower() for u in pages_pd["url"]
     }
+
+
+def test_stateful_host_progress_accumulates_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-host running totals survive across
+    micro-batches AND across query restarts (state in the checkpoint)."""
+    pages_pd = corpus.make_pages(n_pages=60, n_hosts=4, seed=9)
+    ingest = tmp_path / "ingest"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_query(sink_name):
+        rows = []
+        out = streaming.stateful_host_progress(spark, ingest)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # keep the LAST emission per host (update mode re-emits totals)
+        return {r["host"]: (r["n_pages"], r["n_bytes"]) for r in rows}
+
+    _write_pages_batch(spark, pages_pd, 0, 30, ingest)
+    first = run_query("hp1")
+    assert sum(v[0] for v in first.values()) == 30
+    assert all(v[1] > 0 for v in first.values())
+
+    # restart with NEW data and the SAME checkpoint: totals must carry on
+    _write_pages_batch(spark, pages_pd, 30, 60, ingest)
+    second = run_query("hp2")
+    # every host's cumulative count is >= its first-run count, grand total 60
+    total = 0
+    for host, (n, b) in second.items():
+        total += n
+        if host in first:
+            assert n >= first[host][0]
+            assert b >= first[host][1]
+    # hosts not re-observed in batch 2 emit nothing in update mode; add them
+    for host, (n, b) in first.items():
+        if host not in second:
+            total += n
+    assert total == 60
