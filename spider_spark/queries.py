@@ -711,6 +711,43 @@ def weibo_field_map(spark, sf_dir):
     return projected.select("event_id", "uid", "nickname", "verified", "fans", "weibos")
 
 
+_CITIES = ["北京", "上海", "广州", "深圳", "成都", "武汉", "杭州", "南京", "天津", "苏州"]
+_PINYIN = ["beijing", "shanghai", "guangzhou", "shenzhen", "chengdu",
+           "wuhan", "hangzhou", "nanjing", "tianjin", "suzhou"]
+
+
+@q(
+    "pinyin_city_urls",
+    "SELECT doc_id, CASE doc_id % 10 "
+    + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CITIES)
+    )
+    + " END AS city, 'https://hotel.meituan.com/' || CASE doc_id % 10 "
+    + " ".join(
+        f"WHEN {i} THEN '{p}'" for i, p in enumerate(_PINYIN)
+    )
+    + " END || '/' AS url FROM documents",
+)
+def pinyin_city_urls(spark, sf_dir):
+    """C12: the reference's pinyin city-URL synthesis
+    (Meituan/spiders/meituan.py:42 ``'https://hotel.meituan.com/' +
+    ''.join(lazy_pinyin(city)) + '/'``) — transliteration via the built-in
+    city table (pypinyin takes over when installed; readings here are
+    single-valued so both paths agree). Oracle maps city → pinyin
+    explicitly."""
+    from spider_spark import textops
+
+    d = T(spark, sf_dir, "documents")
+    city = F.element_at(
+        F.array(*[F.lit(c) for c in _CITIES]), (F.col("doc_id") % 10 + 1).cast("int")
+    )
+    py = textops.transliterate_udf()(city)
+    return d.select(
+        "doc_id", city.alias("city"),
+        F.concat(F.lit("https://hotel.meituan.com/"), py, F.lit("/")).alias("url"),
+    )
+
+
 @q(
     "sql_ddl_roundtrip",
     """

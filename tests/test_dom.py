@@ -186,3 +186,60 @@ def test_compiled_objects_reusable():
         t = parse_html(f'<div><a href="/x{i}">l</a></div>')
         assert xp(t) == [f"/x{i}"]
         assert len(sel(t)) == 1
+
+
+# ---------------------------------------------------------------- fuzzing
+from hypothesis import given, settings, strategies as st
+
+_tagname = st.sampled_from(["div", "p", "td", "tr", "table", "a", "li", "ul",
+                            "span", "br", "img", "h1", "dd", "x-y", "script"])
+_soup_bit = st.one_of(
+    st.text(alphabet="ab<>&;/='\"中 \n\t%", max_size=12),
+    _tagname.map(lambda t: f"<{t}>"),
+    _tagname.map(lambda t: f"</{t}>"),
+    _tagname.map(lambda t: f"<{t} class='c d' id=\"i\">"),
+    st.just("<!-- comment -->"),
+    st.just("<![CDATA[x]]>"),
+    st.just("&amp;&bogus;&#65;&#xznope;"),
+    st.just("<a href='/x?a=1&b=2'>t</a>"),
+)
+
+
+@given(st.lists(_soup_bit, max_size=30).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_raises_and_tree_is_consistent(soup):
+    t = parse_html(soup)
+    # parent links consistent, no text node ever has children
+    stack = [t]
+    while stack:
+        n = stack.pop()
+        for c in n.children:
+            if isinstance(c, str):
+                assert c  # text nodes are non-empty and maximal
+            else:
+                assert c.parent is n
+                stack.append(c)
+    # the selector engines never raise on a parsed soup
+    for expr in ("//a/@href", "//td[1]/text()", '//div[@class="c"]',
+                 "//p/following-sibling::td[1]"):
+        XPath(expr)(t)
+    for sel in ("a", ".c", "#i", "td:nth-child(1)", "div > p", "ul li, a"):
+        CssSelector(sel)(t)
+
+
+@given(st.lists(st.tuples(st.sampled_from("apd"), st.text(alphabet="xy&<", max_size=5)),
+                max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_escaped_text_roundtrips(parts):
+    """Any text we escape into the doc comes back decoded byte-identically
+    from text()-level reads — the byte-parity property the messy corpus
+    relies on."""
+    import html as _html
+    body = "".join(
+        f"<{'p' if k == 'p' else 'div'}>{_html.escape(txt)}</{'p' if k == 'p' else 'div'}>"
+        for k, txt in parts
+    )
+    t = parse_html(f"<body>{body}</body>")
+    got = [text_content(n) for n in xpath(t, "//p") + xpath(t, "//div")]
+    want = [txt for k, txt in parts if k == "p"] + [txt for k, txt in parts if k != "p"]
+    assert got == want

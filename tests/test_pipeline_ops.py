@@ -134,12 +134,21 @@ def test_pool_refill_caps(spark):
     assert full.count() == 4  # at capacity: no-op
 
 
-def test_transliterate_is_import_gated(spark):
+def test_transliterate_builtin_city_table(spark):
+    """C12 is functional without pypinyin: the built-in city table covers
+    the reference's meituan domain; injected mappings extend it; non-hanzi
+    pass through (lazy_pinyin semantics)."""
     from spider_spark import textops
-    import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="pypinyin"):
-        textops.transliterate_udf()
+    df = spark.createDataFrame(
+        [("北京",), ("武汉A1",), ("魔都",), (None,)], "city string"
+    )
+    udf = textops.transliterate_udf(mapping={"魔": "mo"})
+    out = [r.py for r in df.select(udf(F.col("city")).alias("py")).collect()]
+    assert out[0] == "beijing"
+    assert out[1] == "wuhanA1"          # passthrough for ascii
+    assert out[2] == "mo" + "都".replace("都", "du")  # injected + builtin
+    assert out[3] is None
 
 
 def test_pool_pick_random_deterministic(spark):
