@@ -51,6 +51,7 @@ HEADLINE = [
     "css_select_fields",     # round 2: CSS-selector extraction
     "gold_cross_volume",     # round 2: composed window screen
     "zhihu_user_items",      # round 2: nested-array item family
+    "dedup_clusters",        # round 2: CC survivor resolution
 ]
 
 

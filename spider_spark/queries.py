@@ -1457,6 +1457,32 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @q(
+    "dedup_clusters",
+    """
+    SELECT doc_id, doc_id - doc_id % 5 AS survivor_id FROM documents
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Cluster resolution over dup pairs: connected components with
+    min-id survivors (dedup.connected_survivors — distributed label
+    propagation with early fixpoint stop). The pair fixture is a chain
+    topology that FORCES transitivity (a~b, b~c, never (a,c)): consecutive
+    ids chained within quintets plus a skip link at each decade, so the
+    propagation needs diameter-many rounds, not one. The oracle is the
+    independent closed form of that topology (survivor = id - id%5)."""
+    did = F.col("doc_id")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e1 = d.where((did % 5 != 4) & (did + 1 < n)).select(
+        did.alias("a_id"), (did + 1).alias("b_id")
+    )
+    e2 = d.where((did % 10 == 0) & (did + 2 < n)).select(
+        did.alias("a_id"), (did + 2).alias("b_id")
+    )
+    return dedup.connected_survivors(e1.unionByName(e2))
+
+
+@q(
     "dedup_embedding_bucketed",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -280,3 +280,39 @@ def test_jaccard_max_df_caps_hot_shingles(spark, docs):
         for r in dedup.jaccard_pairs(small, 0.8, max_df=1000).collect()
     }
     assert base == with_cap
+
+
+def test_connected_survivors_matches_union_find_on_real_pairs(spark, docs):
+    """CC survivor resolution over REAL minhash near-dup pairs must equal a
+    python union-find ground truth on the same pairs."""
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select("a_id", "b_id")
+    pair_rows = [(r.a_id, r.b_id) for r in pairs.collect()]
+    assert pair_rows  # fixture has planted near-dups
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {r.doc_id: r.survivor_id for r in dedup.connected_survivors(pairs).collect()}
+    assert got == want
+
+
+def test_connected_survivors_chain_needs_propagation(spark):
+    """A 6-node chain (diameter 5) collapses to one survivor — single-hop
+    min-joins would get this wrong."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 15)] + [(20, 21)], "a_id long, b_id long"
+    )
+    got = {r.doc_id: r.survivor_id for r in dedup.connected_survivors(pairs).collect()}
+    assert got == {**{i: 10 for i in range(10, 16)}, 20: 20, 21: 20}
