@@ -1336,6 +1336,55 @@ def quality_scores(spark, sf_dir):
 
 
 @q(
+    "corpus_keep_filter",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks, ' ' || text || ' ' AS p FROM documents),
+    q AS (SELECT doc_id,
+            len(toks)::BIGINT AS n_tokens,
+            length(text)::BIGINT AS n_chars,
+            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct,
+            CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::DOUBLE / len(toks)::DOUBLE
+                 ELSE 0.0 END AS stopword_ratio,
+            {" , ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in sorted(textops.LANG_MARKERS))}
+          FROM t),
+    m AS (SELECT *, greatest({', '.join('s_' + l for l in sorted(textops.LANG_MARKERS))}) AS m FROM q)
+    SELECT doc_id,
+           CASE WHEN n_tokens < 12 THEN 'drop:too_short'
+                WHEN n_punct * 5 > n_chars THEN 'drop:punct_heavy'
+                WHEN ({_LANG_CASE}) NOT IN ('en', 'zh') THEN 'drop:lang'
+                WHEN stopword_ratio * 100 < 2 THEN 'drop:stopword_low'
+                ELSE 'keep' END AS verdict,
+           n_tokens, round(stopword_ratio, 6) AS stopword_ratio
+    FROM m
+    """,
+)
+def corpus_keep_filter(spark, sf_dir):
+    """The training-data gate that composes the text-analysis operators
+    into an actual keep/drop decision with a reason code — length floor,
+    punctuation-density cap, language allowlist (en/zh), stopword-ratio
+    floor — first-failing-rule-wins, the standard web-corpus filter
+    cascade (C4-200/Gopher-style rules re-expressed over this engine's
+    deterministic features). Every branch is exact-integer-derived, so the
+    verdict is bit-identical cross-engine."""
+    d = T(spark, sf_dir, "documents")
+    qc = textops.quality_cols(F.col("text"))
+    lang = textops.lang_id_col(F.col("text"))
+    verdict = (
+        F.when(qc["n_tokens"] < 12, F.lit("drop:too_short"))
+        .when(qc["n_punct"] * 5 > qc["n_chars"], F.lit("drop:punct_heavy"))
+        .when(~lang.isin("en", "zh"), F.lit("drop:lang"))
+        .when(qc["stopword_ratio"] * 100 < 2, F.lit("drop:stopword_low"))
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "doc_id", verdict.alias("verdict"),
+        qc["n_tokens"].alias("n_tokens"),
+        F.round(qc["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@q(
     "doc_fingerprints",
     f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
