@@ -10,6 +10,14 @@ executors. This sandbox has one machine, so the sanctioned substitute
 Each run prints one JSON line {cpus, pages, urls_done, seconds,
 urls_per_sec}; efficiency = tput_4N / (4 · tput_N).
 
+Measured config levers (round 2): shuffle partitions default to 3× cores
+(BENCH_SHUFFLE_MULT) — finer tasks smooth host-steal stragglers at stage
+barriers, −23%% wall at 8 cores on this VM; run with
+SPARK_LOCAL_DIRS=/dev/shm/... TMPDIR=/dev/shm/... to take the shared
+~350 MB/s /tmp disk out of shuffle+snapshot IO (−25%%). Record the
+pure-CPU control (sha256 burn) next to every pair — host ceilings on this
+box swing between 0.75 and 0.94 across sessions.
+
 The corpus is generated IN SPARK (spark.range — no driver-side loop) so the
 workload is round-dominated, not setup-dominated: BENCH_PAGES pages across
 BENCH_HOSTS hosts with a Zipf-ish hot-host skew (rank ~ u^-0.7), 6 links
@@ -89,7 +97,8 @@ def main() -> None:
     # cost amortizes and skew-join splitting is free insurance.
     os.environ.setdefault("SPIDER_SPARK_DRIVER_MEM", "32g")  # corpus is cached
     spark = get_spark(
-        app_name=f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_MULT", "3")) * cpus,
         extra_conf={"spark.sql.adaptive.enabled": os.environ.get("BENCH_AQE", "false")},
     )
     pages, seeds_df = synth_pages(spark, n_pages, n_hosts)

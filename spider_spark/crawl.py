@@ -143,14 +143,21 @@ def crawl(
             # partition count upstream and serialize the whole round
             tbls = {k: df.repartition(cfg.write_coalesce) for k, df in tbls.items()}
 
+        # Materialize the round's shared caches ONCE, before the concurrent
+        # table writes: persist() is lazy and cache population is not
+        # synchronized, so five simultaneous write jobs would otherwise
+        # RACE to compute the same uncached claim/fetch/parse/merge chain
+        # and duplicate it up to 5x (measured: 210 core-s of jobs for a
+        # 60 s wall before this; the same status groupBy doubles as next
+        # round's empty-check + the final summary).
+        by_status = {
+            r["status"]: r["count"]
+            for r in result.frontier.groupBy("status").count().collect()
+        }
+        if seen is not None:
+            tbls["seen_segments"].count()  # populate the segment cache too
+
         def round_stats():
-            # runs inside the write phase, everything cache-hot: one tiny
-            # groupBy on the persisted frontier (feeds next round's empty
-            # check AND the final summary) + the n_buckets-row seg stats
-            by_status = {
-                r["status"]: r["count"]
-                for r in result.frontier.groupBy("status").count().collect()
-            }
             out = {"by_status": by_status, "n_new": by_status.get("new", 0)}
             if seen is not None:
                 out["seen"] = seen.seg_stats()

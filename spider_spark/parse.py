@@ -140,6 +140,48 @@ def parsed_struct(html_bin: Column) -> Column:
     return parse_page_udf(html_bin)
 
 
+# JVM equivalents of the python field regexes (java.util.regex dialect:
+# same (?s)/.*? semantics for these patterns — the cross-dialect agreement
+# is property-tested for the link patterns and byte-parity-tested for the
+# field extractions)
+_JVM_TITLE = r"(?s)<title>(.*?)</title>"
+_JVM_TEXT = r"(?s)<p>(.*?)</p>"
+_JVM_QCC = {
+    field: r"(?s)<td>%s</td><td>(.*?)</td>" % re.escape(label)
+    for field, label in QCC_FIELDS
+}
+
+
+def _extract_or_null(s: Column, pattern: str) -> Column:
+    """regexp_extract with python-re None semantics: NULL when the pattern
+    does not match (builtin returns '' — indistinguishable from an empty
+    group match, which the parity model must distinguish)."""
+    return F.when(s.rlike(pattern), F.regexp_extract(s, pattern, 1))
+
+
+def parse_page_cols(html_str: Column) -> Column:
+    """The JVM fast path of parse_page_udf: identical (title, text, qcc
+    fields, error) struct computed entirely with builtin regexp_extract —
+    whole-stage codegen, zero python workers in the crawl hot loop. Input
+    is a STRING column; produce it with ``html.cast("string")``, which
+    (unlike ``decode(html,'UTF-8')`` — ANSI-throwing on invalid bytes, a
+    round-killer on crawl-wild pages) passes malformed bytes through as
+    replacement-mapped text. For charset-faithful extraction of non-UTF-8
+    pages use parse_page_udf / the DOM UDFs (gb18030 double-decode)."""
+    fields = [
+        _extract_or_null(html_str, _JVM_TITLE).alias("title"),
+        _extract_or_null(html_str, _JVM_TEXT).alias("text"),
+    ] + [
+        _extract_or_null(html_str, _JVM_QCC[f]).alias(f"company_{f}")
+        for f, _ in QCC_FIELDS
+    ] + [
+        F.when(html_str.isNull(), F.lit("ValueError: null html"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error")
+    ]
+    return F.struct(*fields)
+
+
 def links_col(html_str: Column) -> Column:
     """Link discovery as a pure built-in (JVM regex, no Python):
     ``regexp_extract_all(html, href_pattern, 1)`` — SURVEY.md §2 C4."""

@@ -67,6 +67,9 @@ class CrawlConfig:
                                  # each round for hosts with >50% misses
     partition_frontier: bool = True  # D5: hive-partition frontier by status
     bloom_telemetry: bool = True     # _bloom probe counters into fetch_log
+    jvm_parse: bool = True      # builtin-regexp page parse (codegen, no
+                                # python workers); False = pandas UDF path
+                                # (charset-faithful gb18030 double-decode)
     seq_mode: str = "global"    # "global": dense global discovery rank —
                                 # exact parity with the reference's single
                                 # FIFO frontier (3 extra jobs/round).
@@ -261,15 +264,25 @@ def run_round(
         "url", "url_md5", "depth", "discovered_seq", "attempt", "host"
     ).join(pages.select("url", "html"), "url", "left")
 
-    html_str = F.decode(F.col("html"), "UTF-8")
+    # cast, NOT decode('UTF-8'): ANSI decode THROWS MALFORMED_CHARACTER_
+    # CODING on the first invalid byte — one non-UTF-8 crawl-wild page
+    # (gb18030, truncated entity, binary masquerading as html) would kill
+    # the whole round. The binary→string cast passes bad bytes through as
+    # replacement-mapped text, which is exactly what link/field regexes
+    # want. (Probed on Spark 4.1.2, round 2.)
+    html_str = F.col("html").cast("string")
 
-    # --- extraction: vectorized pandas UDF (C1/C5) + builtin regex (C4) ----
+    # --- extraction: builtin regexp struct (codegen) + builtin regex (C4) --
     # ONE cached dataset per round, html dropped after extraction: caching
     # raw html (the widest column) across two materializations doubled both
     # memory and the downstream cache-scan time
+    page_struct = (
+        parse.parse_page_cols(html_str) if cfg.jvm_parse
+        else parse.parse_page_udf(F.col("html"))
+    )
     parsed = (
         fetched.withColumn("ok", F.col("html").isNotNull())
-        .withColumn("p", parse.parse_page_udf(F.col("html")))
+        .withColumn("p", page_struct)
         .withColumn("links_raw", F.when(F.col("ok"), parse.links_col(html_str)))
         .drop("html")
     )

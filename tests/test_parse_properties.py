@@ -82,3 +82,53 @@ def test_dom_byte_parity_on_messy_qcc_corpus(spark):
         assert not mismatches, (f, dict(list(mismatches.items())[:3]))
     # encoding split actually exercised both decode paths
     assert set(golden["encoding"].unique()) == {"utf-8", "gb18030"}
+
+
+def test_jvm_parse_equals_udf_parse(spark):
+    """parse_page_cols (builtin regexp, codegen) must be byte-identical to
+    parse_page_udf (python re) over the UTF-8 corpus — the cross-dialect
+    field-extraction parity the crawl fast path rests on."""
+    from spider_spark import corpus
+
+    pages = corpus.make_pages(n_pages=150, n_hosts=8, seed=3)
+    df = spark.createDataFrame(pages[["url", "html"]])
+    jvm = (
+        df.select("url", parse.parse_page_cols(F.col("html").cast("string")).alias("p"))
+        .select("url", "p.*").collect()
+    )
+    py = (
+        df.select("url", parse.parse_page_udf(F.col("html")).alias("p"))
+        .select("url", "p.*").collect()
+    )
+    jvm_map = {r["url"]: r.asDict() for r in jvm}
+    for r in py:
+        assert jvm_map[r["url"]] == r.asDict(), r["url"]
+
+
+def test_non_utf8_page_does_not_crash_round(spark, tmp_path):
+    """Regression: decode('UTF-8') THROWS on invalid bytes under ANSI —
+    a single binary/gb18030 page must not kill the crawl round."""
+    import pandas as pd
+    from spider_spark import tables
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+
+    good = ('<html><head><title>ok</title></head><body><p>t</p>'
+            '<a href="https://h0.example.com/bin">x</a></body></html>').encode("utf8")
+    bad = b"\xff\xfe\x00garbage" + "中文gb".encode("gb18030") + b'<a href="https://h0.example.com/next">l</a>'
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": ["https://h0.example.com/", "https://h0.example.com/bin",
+                "https://h0.example.com/next"],
+        "html": [good, bad, good],
+    }))
+    policy = spark.createDataFrame(pd.DataFrame({
+        "host": ["h0.example.com"], "crawl_delay": [5.0],
+        "robots_allow": [["/"]], "robots_deny": [[]], "host_budget": [-1],
+    }))
+    s = crawl(spark, tmp_path / "wd", pages, [("https://h0.example.com/", 0)],
+              policy, CrawlConfig(max_rounds=5))
+    assert s.n_done >= 2  # the bad page fetched + link-extracted, no crash
+    frontier = tables.read_table(spark, tmp_path / "wd", s.last_round, "frontier")
+    by_url = {r["url"]: r["status"] for r in frontier.collect()}
+    assert by_url["https://h0.example.com/bin"] == "done"
+    assert by_url["https://h0.example.com/next"] == "done"  # link through bad bytes
