@@ -96,7 +96,7 @@ def main() -> None:
     cfg = CrawlConfig(max_rounds=1, use_bloom=True, bloom_buckets=256,
                       n_salt=8, seq_mode="hash")
     res = run_round(spark, frontier, pages, policy, 1, cfg,
-                    seen_prefilter=loaded.split)
+                    seen_mark=loaded.mark)
     tbls = {"frontier": res.frontier, "links": res.links, "items": res.items,
             "fetch_log": res.fetch_log,
             "seen_segments": loaded.merged(
