@@ -1126,6 +1126,56 @@ def robots_filter(spark, sf_dir):
     )
 
 
+_ROBOTS_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 10.0 WHEN 1 THEN 2.5 ELSE 5.0 END AS crawl_delay,
+           CASE doc_id % 4
+                WHEN 1 THEN '/a' || doc_id::VARCHAR
+                WHEN 2 THEN '/ok'
+                ELSE '/' END AS allow,
+           CASE doc_id % 4
+                WHEN 0 THEN '/private/'
+                WHEN 1 THEN '/d' || doc_id::VARCHAR
+                ELSE '' END AS deny
+    FROM documents
+"""
+
+
+@q("robots_policy_parse", _ROBOTS_ORACLE)
+def robots_policy_parse(spark, sf_dir):
+    """A13 bootstrap: parse robots.txt BODIES into the host-policy table
+    (robots.py — RFC 9309 subset: group selection with agent-over-*
+    precedence, Allow/Disallow prefixes, Crawl-delay, comments, case
+    mixing, empty-Disallow). Four planted body shapes: star-only group,
+    specific-beats-star, messy casing/comments, empty file ⇒ defaults.
+    Oracle reconstructs the expected policy per shape."""
+    from spider_spark import robots as R
+
+    did = F.col("doc_id")
+    body = (
+        F.when(did % 4 == 0, F.lit(
+            "# generic\nUser-agent: *\nDisallow: /private/\nCrawl-delay: 10\n"))
+        .when(did % 4 == 1, F.concat(
+            F.lit("User-agent: *\nDisallow: /all/\n\nUser-agent: spider\nAllow: /a"),
+            did.cast("string"),
+            F.lit("\nDisallow: /d"), did.cast("string"),
+            F.lit("\nCrawl-delay: 2.5\n")))
+        .when(did % 4 == 2, F.lit(
+            "# messy\nUSER-AGENT: SPIDER\nDisallow:\nAllow: /ok  # inline\n"))
+        .otherwise(F.lit(""))
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("h"), did.cast("string")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    pol = R.policy_from_robots(d, agent="spider")
+    return d.select("doc_id", "host").join(pol, "host").select(
+        "doc_id", "crawl_delay",
+        F.array_join("robots_allow", ",").alias("allow"),
+        F.array_join("robots_deny", ",").alias("deny"),
+    )
+
+
 @q(
     "pagination_explode",
     """
