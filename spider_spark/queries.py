@@ -1176,6 +1176,50 @@ def robots_policy_parse(spark, sf_dir):
     )
 
 
+_SITEMAP_ORACLE = """
+    SELECT doc_id,
+           'https://s' || (doc_id % 7)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS url,
+           (1990 + doc_id % 30)::VARCHAR || '-06-15' AS lastmod
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://s' || (doc_id % 7)::VARCHAR || '.example.com/q?a=' || doc_id::VARCHAR
+             || '&b=' || (doc_id % 9)::VARCHAR AS url,
+           NULL AS lastmod
+    FROM documents
+"""
+
+
+@q("sitemap_seeds", _SITEMAP_ORACLE)
+def sitemap_seeds(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org urlset) → seed rows: two <url>
+    entries per doc — one with <lastmod>, one with an entity-escaped query
+    URL (&amp; must come back decoded) plus whitespace padding inside
+    <loc>. Parsed by the DOM engine via sitemap.sitemap_entries_udf; the
+    oracle reconstructs the planted values."""
+    from spider_spark import sitemap as S
+
+    did = F.col("doc_id")
+    u1 = F.concat(F.lit("https://s"), (did % 7).cast("string"),
+                  F.lit(".example.com/p/"), did.cast("string"))
+    lastmod = F.concat((F.lit(1990) + did % 30).cast("string"), F.lit("-06-15"))
+    u2_esc = F.concat(F.lit("https://s"), (did % 7).cast("string"),
+                      F.lit(".example.com/q?a="), did.cast("string"),
+                      F.lit("&amp;b="), (did % 9).cast("string"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'), u1,
+        F.lit("</loc><lastmod>"), lastmod, F.lit("</lastmod></url>"),
+        F.lit("<url><loc> "), u2_esc, F.lit(" </loc></url></urlset>"),
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(xml, "UTF-8").alias("sitemap_xml")
+    )
+    e = F.explode(S.sitemap_entries_udf()(F.col("sitemap_xml"))).alias("e")
+    return d.select("doc_id", e).select(
+        "doc_id", F.col("e.loc").alias("url"), F.col("e.lastmod").alias("lastmod")
+    )
+
+
 @q(
     "pagination_explode",
     """

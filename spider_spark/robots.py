@@ -42,9 +42,11 @@ DEFAULT_CRAWL_DELAY = 5.0  # the reference's CRAWL_DELAY (client_crawler.py:293)
 
 def parse_robots(body: str | None, agent: str = "spider") -> dict:
     """Parse one robots.txt body for ``agent``. Returns
-    {"robots_allow": [...], "robots_deny": [...], "crawl_delay": float}."""
+    {"robots_allow": [...], "robots_deny": [...], "crawl_delay": float,
+    "sitemaps": [...]}."""
     star: dict = {"allow": [], "deny": [], "delay": None}
     mine: dict = {"allow": [], "deny": [], "delay": None}
+    sitemaps: list[str] = []
     matched_any = False
     if body:
         agent_lc = agent.lower()
@@ -67,6 +69,11 @@ def parse_robots(body: str | None, agent: str = "spider") -> dict:
                 elif ua and (agent_lc == ua or agent_lc.startswith(ua)):
                     cur.append(mine)
                     matched_any = True
+            elif key == "sitemap":
+                # global directive (RFC 9309 §2.3 "other records"): not
+                # group-scoped, feeds sitemap.seeds_from_sitemaps
+                if val:
+                    sitemaps.append(val)
             elif key in ("allow", "disallow", "crawl-delay"):
                 in_rules = True
                 for g in cur:
@@ -84,7 +91,8 @@ def parse_robots(body: str | None, agent: str = "spider") -> dict:
     g = mine if matched_any else star
     delay = g["delay"] if g["delay"] is not None else DEFAULT_CRAWL_DELAY
     allow = g["allow"] if g["allow"] else ["/"]
-    return {"robots_allow": allow, "robots_deny": g["deny"], "crawl_delay": delay}
+    return {"robots_allow": allow, "robots_deny": g["deny"], "crawl_delay": delay,
+            "sitemaps": sitemaps}
 
 
 _POLICY_SCHEMA = StructType([

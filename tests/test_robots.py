@@ -10,7 +10,7 @@ from spider_spark.robots import DEFAULT_CRAWL_DELAY, parse_robots, policy_from_r
 def test_star_group():
     p = parse_robots("User-agent: *\nDisallow: /admin/\nAllow: /admin/pub\nCrawl-delay: 7")
     assert p == {"robots_allow": ["/admin/pub"], "robots_deny": ["/admin/"],
-                 "crawl_delay": 7.0}
+                 "crawl_delay": 7.0, "sitemaps": []}
 
 
 def test_specific_group_beats_star():
@@ -38,14 +38,14 @@ def test_messy_input():
     p = parse_robots(body)
     # empty Disallow = no rule; bad delay ignored; comment stripped
     assert p == {"robots_allow": ["/ok"], "robots_deny": [],
-                 "crawl_delay": DEFAULT_CRAWL_DELAY}
+                 "crawl_delay": DEFAULT_CRAWL_DELAY, "sitemaps": []}
 
 
 def test_empty_and_none():
     for body in ("", None):
         p = parse_robots(body)
         assert p == {"robots_allow": ["/"], "robots_deny": [],
-                     "crawl_delay": DEFAULT_CRAWL_DELAY}
+                     "crawl_delay": DEFAULT_CRAWL_DELAY, "sitemaps": []}
 
 
 def test_second_group_after_rules_resets():
@@ -81,3 +81,40 @@ def test_crawl_bootstraps_policy_from_robots(spark, tmp_path):
         if "/p/" in r["url"]:
             assert r["status"] == "denied", r["url"]
     assert s.n_denied > 0
+
+
+def test_sitemap_directive_is_global():
+    body = ("Sitemap: https://a.com/s1.xml\nUser-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.com/s2.xml\n")
+    p = parse_robots(body)
+    assert p["sitemaps"] == ["https://a.com/s1.xml", "https://a.com/s2.xml"]
+    assert p["robots_deny"] == ["/x"]
+
+
+def test_sitemap_to_seeds_pipeline(spark):
+    """robots Sitemap: -> sitemap body -> seed DataFrame -> crawl's
+    distributed seed path (A10)."""
+    import pandas as pd
+
+    from spider_spark.sitemap import seeds_from_sitemaps, sitemap_entries_udf
+
+    urlset = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://a.com/p?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod></url>
+      <url><loc> https://a.com/q </loc></url>
+      <url><lastmod>2026-01-02</lastmod></url>
+    </urlset>"""
+    index = """<sitemapindex>
+      <sitemap><loc>https://a.com/s-part1.xml</loc></sitemap>
+      <sitemap><loc>https://a.com/s-part2.xml</loc></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame(pd.DataFrame({"sitemap_xml": [
+        urlset.encode("utf8"), index.encode("utf8"), None]}))
+    seeds = seeds_from_sitemaps(df).collect()
+    assert {(r.url, r.lastmod) for r in seeds} == {
+        ("https://a.com/p?x=1&y=2", "2026-01-01"),  # entity decoded
+        ("https://a.com/q", None),                   # whitespace stripped
+    }
+    entries = df.select(F.explode(sitemap_entries_udf()(F.col("sitemap_xml"))).alias("e")).collect()
+    kinds = [r["e"]["kind"] for r in entries]
+    assert kinds.count("index") == 2  # nested index surfaced for the fetch loop
