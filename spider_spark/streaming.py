@@ -89,6 +89,7 @@ def stateful_host_progress(
     spark: SparkSession,
     ingest_dir: str | Path,
     max_files_per_trigger: int | None = None,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-host cumulative crawl accounting that survives across micro-batches
@@ -102,8 +103,12 @@ def stateful_host_progress(
     ``applyInPandasWithState`` surface the north-star architecture calls
     for where watermark+window aggregation (host_fetch_rates) can't
     express the semantics (running totals have no window close).
-    Returns an unstarted streaming DataFrame; sink with writeStream
-    (outputMode('update')).
+    ``idle_timeout_ms`` arms ProcessingTimeTimeout-based state GC: a host
+    with no pages for that long is emitted once more with ``closed=true``
+    and its state removed — bounded state for the long tail of hosts a
+    crawl touches once and never again (at 10^8 hosts, unevicted grouped
+    state IS the leak). Returns an unstarted streaming DataFrame; sink
+    with writeStream (outputMode('update')).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -121,6 +126,13 @@ def stateful_host_progress(
             n_pages, n_bytes, first_ts, last_ts = state.get
         else:
             n_pages, n_bytes, first_ts, last_ts = 0, 0, None, None
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"host": [key[0]], "n_pages": [n_pages], "n_bytes": [n_bytes],
+                 "first_ts": [first_ts], "last_ts": [last_ts], "closed": [True]}
+            )
+            return
         for pdf in pdfs:
             n_pages += len(pdf)
             n_bytes += int(pdf["html"].map(lambda b: len(b) if b is not None else 0).sum())
@@ -130,9 +142,11 @@ def stateful_host_progress(
                 first_ts = lo if first_ts is None else min(first_ts, lo)
                 last_ts = hi if last_ts is None else max(last_ts, hi)
         state.update((n_pages, n_bytes, first_ts, last_ts))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"host": [key[0]], "n_pages": [n_pages], "n_bytes": [n_bytes],
-             "first_ts": [first_ts], "last_ts": [last_ts]}
+             "first_ts": [first_ts], "last_ts": [last_ts], "closed": [False]}
         )
 
     return (
@@ -141,11 +155,15 @@ def stateful_host_progress(
         .applyInPandasWithState(
             update,
             outputStructType="host string, n_pages long, n_bytes long, "
-                             "first_ts timestamp, last_ts timestamp",
+                             "first_ts timestamp, last_ts timestamp, "
+                             "closed boolean",
             stateStructType="n_pages long, n_bytes long, "
                             "first_ts timestamp, last_ts timestamp",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

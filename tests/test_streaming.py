@@ -122,3 +122,59 @@ def test_stateful_host_progress_accumulates_across_restarts(spark, tmp_path):
         if host not in second:
             total += n
     assert total == 60
+
+
+def test_stateful_host_progress_idle_timeout_gc(spark, tmp_path):
+    """ProcessingTimeTimeout state GC: hosts left idle past the timeout are
+    emitted with closed=true (final totals attached) while a refreshed
+    host stays open. One continuous 1 s-trigger query (availableNow
+    restarts cost minutes on this box); timers fire in the empty batches
+    Spark schedules while timeouts are pending."""
+    import time
+
+    pages_pd = corpus.make_pages(n_pages=60, n_hosts=4, seed=9)
+    ingest = tmp_path / "ingest"
+    all_hosts = sorted({u.split("/")[2].lower() for u in pages_pd["url"]})
+    victim = all_hosts[0]
+
+    _write_pages_batch(spark, pages_pd, 0, 60, ingest)  # dir must exist pre-start
+    rows = []
+    out = streaming.stateful_host_progress(spark, ingest, idle_timeout_ms=1500)
+    q = (
+        out.writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+
+        def wait_for(pred, timeout_s=120):
+            t0 = time.time()
+            while time.time() - t0 < timeout_s:
+                if pred():
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(lambda: {r["host"] for r in rows} >= set(all_hosts))
+        # idle: timers expire; empty batches emit closures for every host
+        assert wait_for(
+            lambda: set(all_hosts) <= {r["host"] for r in rows if r["closed"]}
+        ), [r["host"] for r in rows if r["closed"]]
+        n_before = len(rows)
+        # refresh ONE host: fresh (state was removed) non-closed emission
+        one = pages_pd[pages_pd["url"].str.contains(victim, regex=False)]
+        spark.createDataFrame(one[["url", "warc_ts", "html"]]).write.mode(
+            "append").parquet(str(ingest))
+        assert wait_for(
+            lambda: any(
+                r["host"] == victim and not r["closed"] for r in rows[n_before:]
+            )
+        )
+        fresh = [r for r in rows[n_before:] if r["host"] == victim and not r["closed"]]
+        # state removal observable: the count restarted from the new rows
+        assert fresh[-1]["n_pages"] == len(one)
+        assert all(r["n_pages"] > 0 for r in rows)
+    finally:
+        q.stop()
