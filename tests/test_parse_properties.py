@@ -132,3 +132,29 @@ def test_non_utf8_page_does_not_crash_round(spark, tmp_path):
     by_url = {r["url"]: r["status"] for r in frontier.collect()}
     assert by_url["https://h0.example.com/bin"] == "done"
     assert by_url["https://h0.example.com/next"] == "done"  # link through bad bytes
+
+
+def test_dom_links_udf_beats_regex_on_messy_anchors(spark):
+    """C4 structural variant: DOM link discovery handles single-quoted and
+    entity-encoded hrefs the C4 regex scan (double-quote only) cannot,
+    while agreeing with it on clean anchors."""
+    html_clean = b'<a href="/a">1</a><a href="/b">2</a>'
+    html_messy = (
+        b"<a href='/sq'>s</a>"                      # single quotes
+        b'<a href="/e?x=1&amp;y=2">e</a>'           # entity in href
+        b"<a class='z' href=/bare>b</a>"            # unquoted attr
+    )
+    df = spark.createDataFrame([(html_clean,), (html_messy,), (None,)], "html binary")
+    dom_links = [r.l for r in df.select(parse.dom_links_udf()(F.col("html")).alias("l")).collect()]
+    assert dom_links[0] == ["/a", "/b"]
+    assert dom_links[1] == ["/sq", "/e?x=1&y=2", "/bare"]
+    assert dom_links[2] is None
+    regex_links = [
+        list(r.l) if r.l is not None else None
+        for r in df.select(parse.links_col(F.col("html").cast("string")).alias("l")).collect()
+    ]
+    assert regex_links[0] == ["/a", "/b"]      # agreement on clean anchors
+    # regex catches only the double-quoted href and returns it RAW
+    # (undecoded entity) — the DOM path is the one that matches browser
+    # semantics on all three messy forms
+    assert regex_links[1] == ["/e?x=1&amp;y=2"]
