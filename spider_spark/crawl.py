@@ -13,7 +13,7 @@ resumable, and is exactly how an Iceberg COW MERGE loop behaves.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +52,7 @@ def crawl(
 ) -> CrawlSummary:
     cfg = cfg or CrawlConfig()
     workdir = Path(workdir)
+    mor = cfg.frontier_mode == "mor"
 
     start = tables.latest_round(workdir) if resume else None
     if start is None:
@@ -68,13 +69,17 @@ def crawl(
         def stats0():
             out = {"by_status": {"new": frontier0.count()}}
             out["n_new"] = out["by_status"]["new"]
+            if mor:
+                out["base_rows"] = out["n_new"]
+                out["mor_delta_rows"] = 0
             if seen is not None:
                 out["seen"] = seen.seg_stats()
             return out
 
         pb = {"frontier": ["status"]} if cfg.partition_frontier else None
         tables.write_snapshot(workdir, 0, tbls, partition_by=pb,
-                              stats_fn=stats0)
+                              stats_fn=stats0,
+                              frontier_base=0 if mor else None)
         for df in tbls.values():
             df.unpersist()
         start = 0
@@ -93,11 +98,30 @@ def crawl(
             # (empty seed list) leaves no schema-bearing files to read
             rnd -= 1
             break
-        frontier = tables.read_table(spark, workdir, rnd - 1, "frontier")
-        if n_new_prev is None:  # legacy manifest: partition-pruned probe
-            if frontier.where(F.col("status") == "new").limit(1).count() == 0:
-                rnd -= 1
-                break
+
+        # pagerank reprioritization touches every row's priority — in mor
+        # that is by definition a base rewrite, so the round runs cow-style
+        # and its snapshot becomes the new compaction base
+        pagerank_fires = bool(
+            cfg.pagerank_every and rnd > 1 and (rnd - 1) % cfg.pagerank_every == 0
+        )
+        frontier_urls = None
+        if mor and not pagerank_fires:
+            # scheduling read: resolved 'new' rows only (base partition-
+            # pruned + children deltas); dedup side: 2-column urls scan
+            frontier = tables.read_frontier_new(spark, workdir, rnd - 1)
+            frontier_urls = tables.read_frontier_urls(spark, workdir, rnd - 1)
+            round_cfg = cfg
+        elif mor:
+            frontier = tables.read_frontier_resolved(spark, workdir, rnd - 1)
+            round_cfg = replace(cfg, frontier_mode="cow")
+        else:
+            frontier = tables.read_table(spark, workdir, rnd - 1, "frontier")
+            round_cfg = cfg
+            if n_new_prev is None:  # legacy manifest: partition-pruned probe
+                if frontier.where(F.col("status") == "new").limit(1).count() == 0:
+                    rnd -= 1
+                    break
 
         seen_mark = None
         seen = None
@@ -112,12 +136,12 @@ def crawl(
             # most the round that overflowed it
             seg_stats = prev_stats.get("seen")
             seen.maybe_rebuild(
-                frontier,
+                frontier_urls if frontier_urls is not None else frontier,
                 stats=[tuple(s) for s in seg_stats] if seg_stats else None,
             )
             seen_mark = seen.mark
 
-        if cfg.pagerank_every and rnd > 1 and (rnd - 1) % cfg.pagerank_every == 0:
+        if pagerank_fires:
             all_links = tables.read_appended(spark, workdir, "links", upto_round=rnd - 1)
             if all_links is not None:
                 frontier = apply_priority(
@@ -125,16 +149,29 @@ def crawl(
                 )
 
         result: RoundResult = run_round(
-            spark, frontier, pages, policy, rnd, cfg, seen_mark=seen_mark
+            spark, frontier, pages, policy, rnd, round_cfg,
+            seen_mark=seen_mark, frontier_urls=frontier_urls,
         )
-        tbls = {
-            "frontier": result.frontier,
-            "links": result.links,
-            "items": result.items,
-            "fetch_log": result.fetch_log,
-        }
-        if seen is not None:
+        mor_delta_round = result.frontier is None
+        if mor_delta_round:
+            tbls = {
+                "frontier_updates": result.updates,
+                "frontier_children": result.children,
+                "frontier_inlinks": result.inlink_deltas,
+                "links": result.links,
+                "items": result.items,
+                "fetch_log": result.fetch_log,
+            }
+            new_urls = result.children
+        else:
+            tbls = {
+                "frontier": result.frontier,
+                "links": result.links,
+                "items": result.items,
+                "fetch_log": result.fetch_log,
+            }
             new_urls = result.frontier.where(F.col("discovered_round") == rnd)
+        if seen is not None:
             seg = seen.merged(new_urls).persist()
             tbls["seen_segments"] = seg
             result.cached.append(seg)
@@ -150,15 +187,58 @@ def crawl(
         # and duplicate it up to 5x (measured: 210 core-s of jobs for a
         # 60 s wall before this; the same status groupBy doubles as next
         # round's empty-check + the final summary).
-        by_status = {
-            r["status"]: r["count"]
-            for r in result.frontier.groupBy("status").count().collect()
-        }
+        frontier_base = None
+        if mor_delta_round:
+            # mor accounting: by_status rolls forward from the deltas alone
+            # (updates are absolute post-states of previously-'new' rows;
+            # children are all 'new') — no full-frontier job anywhere
+            upd_counts = {
+                r["status"]: r["count"]
+                for r in result.updates.groupBy("status").count().collect()
+            }
+            n_children = result.children.count()
+            by_status = dict(prev_stats.get("by_status", {}))
+            n_touched = sum(upd_counts.values())
+            for s in ("done", "failed", "denied"):
+                if upd_counts.get(s):
+                    by_status[s] = by_status.get(s, 0) + upd_counts[s]
+            by_status["new"] = (
+                by_status.get("new", 0)
+                - (n_touched - upd_counts.get("new", 0))
+                + n_children
+            )
+            delta_rows = prev_stats.get("mor_delta_rows", 0) + n_touched + n_children
+            base_rows = prev_stats.get("base_rows", 0)
+            frontier_base = tables.frontier_base_round(workdir, rnd - 1)
+            if delta_rows > cfg.compact_ratio * max(base_rows, 1):
+                # compaction: fold all deltas (committed + this round's,
+                # still uncommitted) into a new full base written in THIS
+                # snapshot — one manifest commit covers both, exactly like
+                # Iceberg rewrite_data_files stacked on the MERGE snapshot
+                tbls["frontier"] = tables.resolve_with_pending(
+                    spark, workdir, rnd - 1,
+                    result.updates, result.children, result.inlink_deltas,
+                )
+                frontier_base = rnd
+                base_rows = sum(by_status.values())
+                delta_rows = 0
+        else:
+            by_status = {
+                r["status"]: r["count"]
+                for r in result.frontier.groupBy("status").count().collect()
+            }
+            if mor:  # pagerank compaction round: cow write becomes new base
+                frontier_base = rnd
+                base_rows = sum(by_status.values())
+                delta_rows = 0
         if seen is not None:
             tbls["seen_segments"].count()  # populate the segment cache too
 
         def round_stats():
             out = {"by_status": by_status, "n_new": by_status.get("new", 0)}
+            if mor:
+                out["base_rows"] = base_rows
+                out["mor_delta_rows"] = delta_rows
             if seen is not None:
                 out["seen"] = seen.seg_stats()
             return out
@@ -168,7 +248,7 @@ def crawl(
         # 'new' directory instead of re-reading done/failed/denied rows
         pb = {"frontier": ["status"]} if cfg.partition_frontier else None
         tables.write_snapshot(workdir, rnd, tbls, partition_by=pb,
-                              stats_fn=round_stats)
+                              stats_fn=round_stats, frontier_base=frontier_base)
         prev_stats = (tables.read_manifest(workdir, rnd) or {}).get("stats", {})
         if cfg.backoff_factor > 1.0:
             # B7: blocked hosts get slower budgets next round. Materialize

@@ -70,6 +70,22 @@ class CrawlConfig:
     jvm_parse: bool = True      # builtin-regexp page parse (codegen, no
                                 # python workers); False = pandas UDF path
                                 # (charset-faithful gb18030 double-decode)
+    frontier_mode: str = "cow"  # "cow": full frontier rewrite per round
+                                # (Iceberg copy-on-write MERGE analog).
+                                # "mor": merge-on-read — each round writes
+                                # only DELTAS (status updates for claimed/
+                                # denied rows, new children, inlink
+                                # increments); readers resolve latest-wins
+                                # per url against the last full base, and
+                                # the loop compacts (rewrites the base)
+                                # only when deltas outgrow compact_ratio.
+                                # At the 10^10 design point this is the
+                                # difference between merging 10^10 rows
+                                # per round and merging ~|claimed|+
+                                # |children| (Iceberg MOR w/ equality
+                                # deletes + periodic rewrite_data_files).
+    compact_ratio: float = 0.3  # mor: compact when cumulative delta rows
+                                # exceed this fraction of the base rows
     seq_mode: str = "global"    # "global": dense global discovery rank —
                                 # exact parity with the reference's single
                                 # FIFO frontier (3 extra jobs/round).
@@ -83,11 +99,17 @@ class CrawlConfig:
 
 @dataclass
 class RoundResult:
-    frontier: DataFrame
+    frontier: DataFrame | None  # merged next frontier (cow) / None (mor)
     links: DataFrame
     items: DataFrame
     fetch_log: DataFrame
     cached: list[DataFrame] = field(default_factory=list)  # unpersist after snapshot write
+    # mor deltas (None in cow mode): updates carry ABSOLUTE values for rows
+    # touched this round (every touched row was status='new' before, so the
+    # absolute post-state is fully known without reading the base)
+    updates: DataFrame | None = None       # url, status, fetched_round, attempt, upd_round
+    children: DataFrame | None = None      # full frontier schema, all status='new'
+    inlink_deltas: DataFrame | None = None  # url, inlink_delta (additive)
 
 
 def seeds_frontier_df(seeds_df: DataFrame, round_no: int = 0) -> DataFrame:
@@ -239,10 +261,18 @@ def run_round(
     round_no: int,
     cfg: CrawlConfig,
     seen_mark: Callable[[DataFrame], DataFrame] | None = None,
+    frontier_urls: DataFrame | None = None,
 ) -> RoundResult:
     """One crawl round. PRECONDITION: ``pages`` is unique by url (the
     Iceberg-primary-key contract of the corpus table) — a duplicate url
-    would fan out the fetch join and multiply frontier MERGE rows."""
+    would fan out the fetch join and multiply frontier MERGE rows.
+
+    ``frontier_urls``: the complete url set for first-wins dedup. Defaults
+    to ``frontier.select("url")`` — correct when ``frontier`` is the full
+    table (cow). The mor loop passes the resolved-new rows as ``frontier``
+    (all it schedules from) plus the cheap urls-only scan separately."""
+    if frontier_urls is None:
+        frontier_urls = frontier.select("url")
     new_rows = frontier.where(F.col("status") == "new")
 
     # --- politeness + robots via broadcast policy (A12/A13) ----------------
@@ -255,7 +285,7 @@ def run_round(
     denied = F.exists("robots_deny", lambda p: path.startswith(p))
     allowed = F.exists("robots_allow", lambda p: path.startswith(p))
     is_denied = F.coalesce(denied, F.lit(False)) | ~F.coalesce(allowed, F.lit(True))
-    denied_df = cand.where(is_denied).select("url")
+    denied_df = cand.where(is_denied).select("url", "attempt")
     eligible = cand.where(~is_denied)
 
     # --- pop + fetch (frontier ⋈ pages — THE shuffle; AQE skew-splits) -----
@@ -333,10 +363,10 @@ def run_round(
         maybe_seen = marked.where(F.col("maybe")).drop("maybe")
         definitely_new = marked.where(~F.col("maybe")).drop("maybe")
         survivors = definitely_new.unionByName(
-            maybe_seen.join(frontier.select("url"), "url", "left_anti")
+            maybe_seen.join(frontier_urls, "url", "left_anti")
         )
     else:
-        survivors = agg.join(frontier.select("url"), "url", "left_anti")
+        survivors = agg.join(frontier_urls, "url", "left_anti")
 
     new_flat = survivors.select(
         "url", "cnt", F.col("first.depth").alias("depth"),
@@ -372,50 +402,80 @@ def run_round(
         F.lit(0).alias("attempt"),
     )
 
-    # --- frontier MERGE (Iceberg COW analog) --------------------------------
-    status_updates = parsed.select(
-        "url",
+    # --- frontier MERGE (Iceberg COW analog) or delta emit (MOR) ------------
+    status_case = (
         F.when(F.col("ok"), F.lit("done"))
         .when(F.col("attempt") + 1 >= cfg.max_tries, F.lit("failed"))
         .otherwise(F.lit("new"))
-        .alias("_status_u"),
-        F.when(F.col("ok"), F.lit(round_no))
-        .cast("int")
-        .alias("_fetched_round_u"),
-        F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1)).alias("_attempt_d"),
-    ).unionByName(
-        denied_df.select(
-            "url",
-            F.lit("denied").alias("_status_u"),
-            F.lit(None).cast("int").alias("_fetched_round_u"),
-            F.lit(0).alias("_attempt_d"),
-        )
     )
-    inlink_delta = agg.join(frontier.select("url"), "url", "left_semi").select(
+    fetched_round_case = F.when(F.col("ok"), F.lit(round_no)).cast("int")
+    inlink_delta = agg.join(frontier_urls, "url", "left_semi").select(
         "url", F.col("cnt").alias("_inlink_d")
     )
 
-    updated = (
-        frontier.join(status_updates, "url", "left")
-        .join(inlink_delta, "url", "left")
-        .select(
+    updates = children = inlink_out = None
+    if cfg.frontier_mode == "mor":
+        # Every touched row was status='new' (fetched_round null) before the
+        # round, and `parsed`/`denied_df` carry its current attempt — so the
+        # delta stores the ABSOLUTE post-state and readers resolve with
+        # latest-wins per url, no base read needed at write time. This is
+        # the Iceberg MOR shape: equality-delete + insert of the new row
+        # version, compaction deferred to tables.compact.
+        updates = parsed.select(
             "url",
-            "url_md5",
-            "url_hash",
-            "host",
-            "depth",
-            F.coalesce(F.col("_status_u"), F.col("status")).alias("status"),
-            "discovered_round",
-            F.coalesce(F.col("_fetched_round_u"), F.col("fetched_round")).alias("fetched_round"),
-            "discovered_seq",
-            (F.col("inlink_count") + F.coalesce(F.col("_inlink_d"), F.lit(0))).alias("inlink_count"),
-            "priority",
-            (F.col("attempt") + F.coalesce(F.col("_attempt_d"), F.lit(0))).alias("attempt"),
+            status_case.alias("status"),
+            fetched_round_case.alias("fetched_round"),
+            (F.col("attempt") + F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1))).alias("attempt"),
+        ).unionByName(
+            denied_df.select(
+                "url",
+                F.lit("denied").alias("status"),
+                F.lit(None).cast("int").alias("fetched_round"),
+                "attempt",
+            )
+        ).withColumn("upd_round", F.lit(round_no)).persist()
+        children = new_children.persist()
+        inlink_out = inlink_delta.select("url", F.col("_inlink_d").alias("inlink_delta"))
+        frontier_next = None
+        # updates/children each feed ≥2 jobs (delta-count stats, snapshot
+        # write, optional compaction resolve, seen-set merge)
+        cached = [parsed, agg, updates, children]
+    else:
+        status_updates = parsed.select(
+            "url",
+            status_case.alias("_status_u"),
+            fetched_round_case.alias("_fetched_round_u"),
+            F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1)).alias("_attempt_d"),
+        ).unionByName(
+            denied_df.select(
+                "url",
+                F.lit("denied").alias("_status_u"),
+                F.lit(None).cast("int").alias("_fetched_round_u"),
+                F.lit(0).alias("_attempt_d"),
+            )
         )
-    )
-    # two consumers each round (snapshot write + seen-set merge) — persist
-    # so the MERGE join doesn't run twice
-    frontier_next = updated.unionByName(new_children).persist()
+        updated = (
+            frontier.join(status_updates, "url", "left")
+            .join(inlink_delta, "url", "left")
+            .select(
+                "url",
+                "url_md5",
+                "url_hash",
+                "host",
+                "depth",
+                F.coalesce(F.col("_status_u"), F.col("status")).alias("status"),
+                "discovered_round",
+                F.coalesce(F.col("_fetched_round_u"), F.col("fetched_round")).alias("fetched_round"),
+                "discovered_seq",
+                (F.col("inlink_count") + F.coalesce(F.col("_inlink_d"), F.lit(0))).alias("inlink_count"),
+                "priority",
+                (F.col("attempt") + F.coalesce(F.col("_attempt_d"), F.lit(0))).alias("attempt"),
+            )
+        )
+        # two consumers each round (snapshot write + seen-set merge) — persist
+        # so the MERGE join doesn't run twice
+        frontier_next = updated.unionByName(new_children).persist()
+        cached = [parsed, agg, frontier_next]
 
     # --- per-partition fetch lineage + counters (north_rule) ----------------
     fetch_log = (
@@ -429,7 +489,6 @@ def run_round(
         .select(F.lit(round_no).alias("round"), "partition_id", "host",
                 "n_claimed", "n_fetched", "n_missed")
     )
-    cached = [parsed, agg, frontier_next]
     if marked is not None and cfg.bloom_telemetry:
         # FP-rate telemetry (SURVEY.md §7 step 4): one sentinel row per
         # round under host='_bloom', partition_id=-1 — n_claimed=candidates
@@ -456,5 +515,5 @@ def run_round(
 
     return RoundResult(
         frontier=frontier_next, links=links, items=items, fetch_log=fetch_log,
-        cached=cached,
+        cached=cached, updates=updates, children=children, inlink_deltas=inlink_out,
     )

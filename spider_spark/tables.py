@@ -33,6 +33,20 @@ from pyspark.sql import functions as F
 
 APPEND_TABLES = ("links", "items", "fetch_log")
 
+# merge-on-read frontier delta tables (cfg.frontier_mode="mor"): instead of
+# rewriting every frontier row per round (COW), a round appends
+#   frontier_updates  (url, status, fetched_round, attempt, upd_round)
+#       — ABSOLUTE post-state of rows claimed/denied this round
+#   frontier_children (full frontier schema, all status='new')
+#   frontier_inlinks  (url, inlink_delta) — additive rediscovery counts
+# and readers resolve latest-wins per url over the last full base
+# (manifest key "frontier_base"). Iceberg equivalent: MERGE in
+# merge-on-read mode (equality deletes + inserts), with
+# rewrite_data_files as the compaction. At the 10^10 design point this
+# turns the per-round write volume from O(|frontier|) into
+# O(|claimed| + |children|).
+MOR_TABLES = ("frontier_updates", "frontier_children", "frontier_inlinks")
+
 
 def _round_dir(workdir: str | Path, round_no: int) -> Path:
     return Path(workdir) / "snapshots" / f"round_{round_no:05d}"
@@ -41,7 +55,7 @@ def _round_dir(workdir: str | Path, round_no: int) -> Path:
 def write_snapshot(
     workdir: str | Path, round_no: int, tables: dict[str, DataFrame],
     stats: dict | None = None, partition_by: dict[str, list[str]] | None = None,
-    stats_fn=None,
+    stats_fn=None, frontier_base: int | None = None,
 ) -> None:
     """``partition_by`` maps table name → hive partition columns (D5): the
     crawl loop writes the frontier partitioned by ``status``, so the next
@@ -74,6 +88,8 @@ def write_snapshot(
     if stats_fn is not None:
         stats.update(stats_fn())
     manifest = {"round": round_no, "tables": sorted(tables), "stats": stats}
+    if frontier_base is not None:
+        manifest["frontier_base"] = frontier_base
     tmp = rdir / "manifest.json.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.rename(rdir / "manifest.json")  # commit point
@@ -121,6 +137,140 @@ def read_items_latest(spark: SparkSession, workdir: str | Path) -> DataFrame | N
         return None
     w = Window.partitionBy("url_md5").orderBy(F.desc("fetched_round"))
     return items.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def frontier_base_round(workdir: str | Path, round_no: int) -> int:
+    """The round whose snapshot holds the last FULL frontier at/under
+    ``round_no`` (= ``round_no`` itself for cow snapshots and mor
+    compaction rounds)."""
+    m = read_manifest(workdir, round_no)
+    if m is None:
+        raise FileNotFoundError(f"no manifest for round {round_no}")
+    if "frontier" in m.get("tables", []):
+        return round_no
+    return int(m["frontier_base"])
+
+
+def _mor_parts(
+    spark: SparkSession, workdir: str | Path, round_no: int
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None, DataFrame | None]:
+    """(base, updates, children, inlinks) for resolving the frontier as of
+    ``round_no``: base = last full frontier ≤ round_no; the deltas are the
+    union of all committed delta files in (base, round_no]."""
+    b = frontier_base_round(workdir, round_no)
+    base = read_table(spark, workdir, b, "frontier")
+    paths: dict[str, list[str]] = {name: [] for name in MOR_TABLES}
+    for r in range(b + 1, round_no + 1):
+        rdir = _round_dir(workdir, r)
+        for name in MOR_TABLES:
+            if (rdir / name).exists():
+                paths[name].append(str(rdir / name))
+    read = lambda ps: spark.read.parquet(*ps) if ps else None  # noqa: E731
+    return (
+        base,
+        read(paths["frontier_updates"]),
+        read(paths["frontier_children"]),
+        read(paths["frontier_inlinks"]),
+    )
+
+
+FRONTIER_COLS = (
+    "url", "url_md5", "url_hash", "host", "depth", "status",
+    "discovered_round", "fetched_round", "discovered_seq", "inlink_count",
+    "priority", "attempt",
+)
+
+
+def resolve_frontier(
+    base: DataFrame,
+    updates: DataFrame | None,
+    children: DataFrame | None,
+    inlinks: DataFrame | None,
+) -> DataFrame:
+    """Latest-wins merge of delta tables over a full-frontier base — the
+    mor read path. A url appears at most once per round in ``updates``
+    (the frontier is unique by url and pop claims each url once), so the
+    max-by-upd_round struct picks a unique latest version; rows the crawl
+    touched were always status='new' beforehand, which is why the absolute
+    stored post-state composes with plain coalesce."""
+    full = base if children is None else base.unionByName(children)
+    if updates is not None:
+        latest = updates.groupBy("url").agg(
+            F.max(F.struct("upd_round", "status", "fetched_round", "attempt")).alias("_u")
+        )
+        full = full.join(latest, "url", "left").select(
+            *[
+                c for c in FRONTIER_COLS
+                if c not in ("status", "fetched_round", "attempt")
+            ],
+            F.coalesce(F.col("_u.status"), F.col("status")).alias("status"),
+            F.coalesce(F.col("_u.fetched_round"), F.col("fetched_round")).alias("fetched_round"),
+            F.coalesce(F.col("_u.attempt"), F.col("attempt")).alias("attempt"),
+        )
+    if inlinks is not None:
+        isum = inlinks.groupBy("url").agg(F.sum("inlink_delta").alias("_inl"))
+        full = (
+            full.join(isum, "url", "left")
+            .withColumn(
+                "inlink_count",
+                F.col("inlink_count") + F.coalesce(F.col("_inl"), F.lit(0)),
+            )
+            .drop("_inl")
+        )
+    return full.select(*FRONTIER_COLS)
+
+
+def read_frontier_resolved(spark: SparkSession, workdir: str | Path, round_no: int) -> DataFrame:
+    """Full frontier as of ``round_no`` under either mode (mor resolve, or
+    the plain table when the snapshot carries one)."""
+    if frontier_base_round(workdir, round_no) == round_no:
+        # normalize column order: a status-partitioned parquet read appends
+        # the partition column last
+        return read_table(spark, workdir, round_no, "frontier").select(*FRONTIER_COLS)
+    return resolve_frontier(*_mor_parts(spark, workdir, round_no))
+
+
+def read_frontier_new(spark: SparkSession, workdir: str | Path, round_no: int) -> DataFrame:
+    """Resolved ``status='new'`` rows as of ``round_no`` — the mor
+    scheduling read. Scans only the base's ``status=new`` hive partition
+    (pruned) plus the children deltas; terminal statuses never return to
+    'new', so rows outside those sources cannot be 'new' now."""
+    base, updates, children, inlinks = _mor_parts(spark, workdir, round_no)
+    cand = base.where(F.col("status") == "new")
+    resolved = resolve_frontier(cand, updates, children, inlinks)
+    return resolved.where(F.col("status") == "new")
+
+
+def read_frontier_urls(spark: SparkSession, workdir: str | Path, round_no: int) -> DataFrame:
+    """(url, url_hash) for EVERY frontier row as of ``round_no`` — the
+    first-wins dedup side. Updates never introduce urls, so this is a
+    2-column pruned scan of base ∪ children; no resolution join at all."""
+    base, _updates, children, _inlinks = _mor_parts(spark, workdir, round_no)
+    urls = base.select("url", "url_hash")
+    if children is not None:
+        urls = urls.unionByName(children.select("url", "url_hash"))
+    return urls
+
+
+def resolve_with_pending(
+    spark: SparkSession, workdir: str | Path, prev_round: int,
+    updates: DataFrame | None, children: DataFrame | None,
+    inlinks: DataFrame | None,
+) -> DataFrame:
+    """Full frontier = committed state as of ``prev_round`` + this round's
+    not-yet-committed delta DataFrames — the mor compaction input (the new
+    base is written in the same snapshot as the deltas that triggered it,
+    manifest still the single commit point)."""
+    base, upd0, chil0, inl0 = _mor_parts(spark, workdir, prev_round)
+
+    def cat(a: DataFrame | None, b: DataFrame | None) -> DataFrame | None:
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a.unionByName(b)
+
+    return resolve_frontier(base, cat(upd0, updates), cat(chil0, children), cat(inl0, inlinks))
 
 
 def read_appended(spark: SparkSession, workdir: str | Path, name: str,

@@ -1,0 +1,131 @@
+"""Merge-on-read frontier (cfg.frontier_mode="mor") equivalence.
+
+The mor loop writes per-round DELTAS (absolute status updates for claimed/
+denied rows, new children, additive inlink counts) and resolves latest-wins
+on read, compacting only when deltas outgrow ``compact_ratio`` of the base
+— the Iceberg MOR analog of the COW MERGE loop (tables.py). These tests pin
+the contract: for ANY compaction cadence the resolved frontier, the items,
+and the links are row-identical to the COW run of the same crawl.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_spark import corpus, tables
+from spider_spark.crawl import crawl
+from spider_spark.round import CrawlConfig
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    pages_pd = corpus.make_pages(n_pages=120, n_hosts=10, seed=42)
+    seeds_pd = corpus.make_seeds(pages_pd, n_seeds=3)
+    policy_pd = corpus.make_host_policy(pages_pd)
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(policy_pd)
+    seeds = list(zip(seeds_pd["url"], seeds_pd["depth"]))
+    return pages, seeds, policy
+
+
+def _frontier_rows(spark, wd, last_round):
+    df = tables.read_frontier_resolved(spark, wd, last_round)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _run(spark, wd, inputs, cfg, resume=False):
+    pages, seeds, policy = inputs
+    return crawl(spark, wd, pages, seeds, policy, cfg, resume=resume)
+
+
+@pytest.fixture(scope="module")
+def cow_run(spark, inputs, tmp_path_factory):
+    wd = tmp_path_factory.mktemp("cow")
+    cfg = CrawlConfig(max_depth=3, max_rounds=20)
+    s = _run(spark, wd, inputs, cfg)
+    return s, _frontier_rows(spark, wd, s.last_round), wd
+
+
+@pytest.mark.parametrize(
+    "compact_ratio,label",
+    [(10.0**9, "never"), (0.05, "often")],
+    ids=["deltas-only", "frequent-compaction"],
+)
+def test_mor_equals_cow(spark, inputs, tmp_path, cow_run, compact_ratio, label):
+    cow_summary, cow_rows, cow_wd = cow_run
+    cfg = CrawlConfig(max_depth=3, max_rounds=20, frontier_mode="mor",
+                      compact_ratio=compact_ratio)
+    s = _run(spark, tmp_path / "wd", inputs, cfg)
+    assert s == cow_summary  # rounds_run + all by-status counts
+    assert _frontier_rows(spark, tmp_path / "wd", s.last_round) == cow_rows
+    # append-only outputs identical too
+    for name in ("items", "links"):
+        a = tables.read_appended(spark, cow_wd, name)
+        b = tables.read_appended(spark, tmp_path / "wd", name)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # the cadence actually differs between the two parametrizations
+    bases = [
+        tables.frontier_base_round(tmp_path / "wd", r)
+        for r in range(s.last_round + 1)
+    ]
+    if label == "never":
+        assert set(bases) == {0}, "deltas-only run must never compact"
+    else:
+        assert len(set(bases)) > 1, "frequent-compaction run must compact"
+
+
+def test_mor_delta_rounds_write_no_full_frontier(spark, inputs, tmp_path):
+    cfg = CrawlConfig(max_depth=3, max_rounds=20, frontier_mode="mor",
+                      compact_ratio=10.0**9)
+    s = _run(spark, tmp_path / "wd", inputs, cfg)
+    assert s.last_round >= 2
+    for r in range(1, s.last_round + 1):
+        m = tables.read_manifest(tmp_path / "wd", r)
+        assert "frontier" not in m["tables"], "delta round rewrote the base"
+        assert m["frontier_base"] == 0
+        # delta volume ≪ frontier volume is the whole point: updates can
+        # only cover rows claimed this round
+        assert "frontier_updates" in m["tables"]
+
+
+def test_mor_with_bloom_seen_set(spark, inputs, tmp_path, cow_run):
+    _, cow_rows, _ = cow_run
+    cfg = CrawlConfig(max_depth=3, max_rounds=20, frontier_mode="mor",
+                      compact_ratio=0.4, use_bloom=True, bloom_buckets=8)
+    s = _run(spark, tmp_path / "wd", inputs, cfg)
+    assert _frontier_rows(spark, tmp_path / "wd", s.last_round) == cow_rows
+
+
+def test_mor_resume_mid_crawl(spark, inputs, tmp_path, cow_run):
+    _, cow_rows, _ = cow_run
+    cfg = CrawlConfig(max_depth=3, max_rounds=2, frontier_mode="mor",
+                      compact_ratio=10.0**9)
+    _run(spark, tmp_path / "wd", inputs, cfg)
+    s = _run(spark, tmp_path / "wd", inputs,
+             CrawlConfig(max_depth=3, max_rounds=20, frontier_mode="mor",
+                         compact_ratio=10.0**9),
+             resume=True)
+    assert _frontier_rows(spark, tmp_path / "wd", s.last_round) == cow_rows
+
+
+def test_mor_pagerank_round_compacts(spark, inputs, tmp_path):
+    """PageRank rewrites every priority — in mor it must run as a cow-style
+    compaction round (the snapshot becomes the new base) and stay
+    equivalent to the cow pagerank run."""
+    cfg_cow = CrawlConfig(max_depth=3, max_rounds=20, pagerank_every=2)
+    cfg_mor = CrawlConfig(max_depth=3, max_rounds=20, pagerank_every=2,
+                          frontier_mode="mor", compact_ratio=10.0**9)
+    s1 = _run(spark, tmp_path / "cow", inputs, cfg_cow)
+    s2 = _run(spark, tmp_path / "mor", inputs, cfg_mor)
+    assert s1 == s2
+    # a pagerank round (rnd-1 divisible by 2, rnd>1) must be its own base
+    pr_round = 3
+    if s2.last_round >= pr_round:
+        assert tables.frontier_base_round(tmp_path / "mor", pr_round) == pr_round
+    a = _frontier_rows(spark, tmp_path / "cow", s1.last_round)
+    b = _frontier_rows(spark, tmp_path / "mor", s2.last_round)
+    # priority (index 10) is a pagerank float — partitioning-order summation
+    # differs between the runs by ≤1 ulp; everything else must be exact
+    assert [r[:10] + r[11:] for r in a] == [r[:10] + r[11:] for r in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra[10] - rb[10]) <= 1e-12 * max(1.0, abs(ra[10]))
