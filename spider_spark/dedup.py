@@ -131,19 +131,38 @@ def minhash_lsh_pairs(
     exact-Jaccard answer while the candidate join touches only band-bucket
     collisions (the 10^10-doc path: ~n_bands rows per doc, shuffle on
     band_key, never quadratic)."""
-    band_udf = textops.minhash_band_keys_udf(n_hashes, n_bands)
-    # spread the banding UDF: a small parquet arrives as 1-2 splits, which
-    # would serialize the python workers; hash-repartition first. Shingle
-    # base hashes are computed JVM-side (codegen md5) — the UDF only mixes.
+    # Banding is pure JVM: explode shingles, then ONE aggregation pass with
+    # n_hashes min(xxhash64(seed_i, shingle)) columns — each exploded row
+    # evaluates 128 codegen'd hash expressions in a single scan (no python
+    # workers, no per-permutation array materialization; the
+    # array_min(transform(...))×128 formulation computes the same values
+    # but re-walks the shingle array per permutation — measured ~30×
+    # slower). The doc_id repartition puts each doc in one partition, so
+    # partial aggregation collapses map-side and the shuffle carries one
+    # 128-long row per doc. Empty-gram docs survive via explode_outer:
+    # xxhash64 skips the null, every signature degenerates to hash(seed_i)
+    # — all empties collide with each other and nothing else, and exact
+    # verification drops them anyway.
+    rows_per_band = n_hashes // n_bands
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     toks = docs.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), textops.tokens_col(F.col(text_col)).alias("toks")
     )
     grams = toks.select("doc_id", textops.grams_col(F.col("toks"), n).alias("grams"))
-    bands = grams.select(
-        "doc_id", band_udf(F.transform("grams", textops.hash60)).alias("bands")
+    ex = grams.select("doc_id", F.explode_outer("grams").alias("g"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"s{i}")
+            for i in range(n_hashes)
+        ]
     )
-    buckets = bands.select("doc_id", F.explode("bands").alias("band_key")).persist()
+    band_keys = [
+        F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
+        for b in range(n_bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    ).persist()
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "band_key")

@@ -69,6 +69,25 @@ def top_batch(pool: DataFrame, start: int, stop: int) -> DataFrame:
     )
 
 
+def pick_hash(pool: DataFrame, salt: str = "probe") -> DataFrame:
+    """E2, oracle-able form: among rows tied at the pool's max score, pick
+    the argmax of the shared 60-bit hash of ``proxy || salt`` — uniform
+    over the top tier when the salt varies per request (the reference's
+    RANDOMKEY-among-MAX_SCORE, db.py:32-38), fully deterministic for the
+    DuckDB oracle. One broadcast scalar + one TakeOrdered(1): no full
+    sort, no window."""
+    from spider_spark.textops import hash60
+
+    mx = pool.agg(F.max("score").alias("score"))
+    return (
+        pool.join(F.broadcast(mx), "score")
+        .withColumn("_h", hash60(F.concat(F.col("proxy"), F.lit(salt))))
+        .orderBy(F.desc("_h"))
+        .limit(1)
+        .select("proxy", "score")
+    )
+
+
 def pick_random(pool: DataFrame, seed: int = 42) -> DataFrame:
     """E2 (db.py:32-45): prefer MAX_SCORE members; else random from the
     top-100 by score; deterministic via seeded hash order (the reference's

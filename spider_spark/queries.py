@@ -374,6 +374,26 @@ def pool_decrease_evict(spark, sf_dir):
     return pool.decrease(p.drop("s_nationkey"), failed)
 
 
+@q(
+    "pool_pick_hash",
+    f"""
+    SELECT proxy, score FROM (
+      SELECT proxy, score,
+             row_number() OVER (
+               ORDER BY {textops.hash60_sql("proxy || 'probe'")} DESC) AS rn
+      FROM {_POOL_SQL} p
+      WHERE score = (SELECT max(score) FROM {_POOL_SQL} q)
+    ) WHERE rn = 1
+    """,
+)
+def pool_pick_hash(spark, sf_dir):
+    """E2 random-pick-preferring-max (ProxyPool db.py:32-38 RANDOMKEY among
+    MAX_SCORE members) in its deterministic, oracle-able form: argmax of
+    hash60(proxy||salt) within the max-score tier — uniform over that tier
+    as the salt varies, identical in both engines for a fixed salt."""
+    return pool.pick_hash(_pool_df(spark, sf_dir).drop("s_nationkey"), "probe")
+
+
 # =====================================================================
 # Rolling-window time series (§2.F) over events
 # =====================================================================
@@ -1368,6 +1388,84 @@ def token_counts(spark, sf_dir):
         "doc_id",
         F.size(textops.tokens_col(F.col("text"))).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)).alias("n_bpe_pieces"),
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum((tf{i} > 0)::INT)::DOUBLE AS df{i}" for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {_BM25_K1 + 1}) / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    base AS (SELECT doc_id, len(w)::DOUBLE AS dl, {tf_cols} FROM toks),
+    g AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, {df_cols} FROM base)
+    SELECT doc_id, round({contribs}, 6) AS bm25
+    FROM base, g
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@q("bm25_topk", _bm25_sql())
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k keyword retrieval over the documents table — the ranked
+    lookup a training-data pipeline runs for targeted corpus slices.
+
+    Whole plan is JVM builtins: one tokenize pass computes dl + per-term
+    tf, one single-row agg yields N/avgdl/df (broadcast back — no second
+    scan shuffle), scoring is arithmetic, and the top-k is a TakeOrdered
+    (never a global sort). Operand order matches the oracle SQL exactly
+    so IEEE doubles agree bit-for-bit everywhere except ln(), which both
+    engines compute correctly-rounded-in-practice; round(...,6) absorbs
+    any last-ulp drift. Scales as one map + one tiny broadcast at 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("toks"))
+    def eq(term):
+        # single-parameter closure: a `lambda t, term=term` would be handed
+        # (element, index) by pyspark's higher-order-function binding
+        return lambda t: t == F.lit(term)
+
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.size(F.filter("toks", eq(term))).cast("double").alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(g))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        contrib = idf * (tf * (_BM25_K1 + 1)) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
     )
 
 

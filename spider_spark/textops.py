@@ -15,24 +15,15 @@ foundation for MinHash/SimHash parity without any UDF.
 
 Scale notes (100 TB): every function here is a narrow per-row map — no
 shuffle, embarrassingly parallel, scales linearly with input splits. The
-MinHash signature uses ONE md5 per shingle then 64-bit modular arithmetic
-per seed (higher-order array functions), not k md5 passes.
+MinHash banding is seeded-xxhash64 arithmetic over the shingle array
+(higher-order array functions), not k md5 passes — and not a UDF.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-# 31-bit Mersenne-ish reductions keep a_i * h31 + b_i inside signed 64 bits
-# in BOTH engines (DuckDB raises on BIGINT overflow; Java wraps — neither
-# behavior is ever triggered).
-_H31 = 2_147_483_647          # 2^31 - 1
-_P61 = 2_305_843_009_213_693_951  # 2^61 - 1 (prime)
-_A_MUL = 2_654_435_761        # Knuth multiplicative constant
-_B_MUL = 2_246_822_519        # xxhash prime2
 
 
 def hash60(col: Column) -> Column:
@@ -71,56 +62,6 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
     """One-shot shingles from raw text — convenience for small inputs; hot
     paths use tokens_col + grams_col across two selects (see grams_col)."""
     return grams_col(tokens_col(text), n)
-
-
-# ------------------------------------------------------------------- minhash
-def minhash_band_keys_udf(n_hashes: int = 128, n_bands: int = 32):
-    """Vectorized (Arrow-batched) base-hash array → LSH band keys.
-
-    Input is array<long> of per-shingle hash60 values computed JVM-side
-    (codegen'd md5 — ~10× faster than hashing shingle strings in Python);
-    the UDF does only the numpy seed-sweep + band-key digest. Per (seed,
-    shingle) the signature hash is the splitmix64 finalizer — a real
-    avalanche mixer; an affine map mod p barely permutes the key space and
-    leaves all bands order-correlated (measurably loses true pairs at
-    j=0.9). Returns a factory-built pandas UDF:
-    array<long> → array<string> of n_bands keys."""
-    import hashlib
-
-    from pyspark.sql.functions import pandas_udf
-
-    rows_per_band = n_hashes // n_bands
-    seeds_list = [(_A_MUL * (i + 1)) & 0xFFFFFFFFFFFFFFFF for i in range(n_hashes)]
-
-    @pandas_udf("array<string>")
-    def band_keys(base_hashes: pd.Series) -> pd.Series:
-        seeds = np.array(seeds_list, dtype=np.uint64)[:, None]
-        sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
-        out = []
-        with np.errstate(over="ignore"):
-            for hs in base_hashes:
-                if hs is None or len(hs) == 0:
-                    sig = np.full(n_hashes, sentinel, dtype=np.uint64)
-                else:
-                    base = np.asarray(hs, dtype=np.uint64)[None, :]
-                    x = base + seeds * np.uint64(0x9E3779B97F4A7C15)
-                    x ^= x >> np.uint64(30)
-                    x *= np.uint64(0xBF58476D1CE4E5B9)
-                    x ^= x >> np.uint64(27)
-                    x *= np.uint64(0x94D049BB133111EB)
-                    x ^= x >> np.uint64(31)
-                    sig = x.min(axis=1)
-                keys = [
-                    hashlib.md5(
-                        (f"{i}," + ",".join(map(str, sig[i * rows_per_band:(i + 1) * rows_per_band])))
-                        .encode()
-                    ).hexdigest()
-                    for i in range(n_bands)
-                ]
-                out.append(keys)
-        return pd.Series(out)
-
-    return band_keys
 
 
 # ------------------------------------------------------------------- simhash
