@@ -52,6 +52,7 @@ HEADLINE = [
     "gold_cross_volume",     # round 2: composed window screen
     "zhihu_user_items",      # round 2: nested-array item family
     "dedup_clusters",        # round 2: CC survivor resolution
+    "bm25_topk",             # round 2: BM25 keyword retrieval
 ]
 
 

@@ -117,7 +117,8 @@ def main() -> None:
     cfg = CrawlConfig(max_rounds=n_rounds, use_bloom=True, bloom_buckets=32, n_salt=8,
                       seq_mode="hash",
                       partition_frontier=os.environ.get("BENCH_PARTITION", "true") == "true",
-                      bloom_telemetry=os.environ.get("BENCH_TELEMETRY", "true") == "true")
+                      bloom_telemetry=os.environ.get("BENCH_TELEMETRY", "true") == "true",
+                      frontier_mode=os.environ.get("BENCH_FRONTIER_MODE", "cow"))
     # one-time seed injection + Bloom build + snapshot 0, excluded from the
     # measured window — the metric is steady-state crawl-loop throughput
     from dataclasses import replace
@@ -125,7 +126,7 @@ def main() -> None:
     t0 = time.time()
     crawl(spark, workdir, pages, seeds, policy, cfg, resume=True)
     dt = time.time() - t0
-    final = tables.read_table(spark, workdir, tables.latest_round(workdir), "frontier")
+    final = tables.read_frontier_resolved(spark, workdir, tables.latest_round(workdir))
     done = final.where(F.col("status") == "done").count()
 
     print(json.dumps({
