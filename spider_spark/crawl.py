@@ -176,9 +176,14 @@ def crawl(
             tbls["seen_segments"] = seg
             result.cached.append(seg)
         if cfg.write_coalesce > 0:
-            # repartition, NOT coalesce: coalesce would propagate the tiny
-            # partition count upstream and serialize the whole round
-            tbls = {k: df.repartition(cfg.write_coalesce) for k, df in tbls.items()}
+            # coalesce is safe here ONLY because the count job below
+            # populates every persist before the write jobs run: each write
+            # then reads cached partitions through the coalesce without
+            # re-planning the upstream chain at the tiny partition count
+            # (which is what made repartition necessary before the
+            # count-first ordering — and costs one exchange per table per
+            # round that coalesce doesn't)
+            tbls = {k: df.coalesce(cfg.write_coalesce) for k, df in tbls.items()}
 
         # Materialize the round's shared caches ONCE, before the concurrent
         # table writes: persist() is lazy and cache population is not
