@@ -53,6 +53,7 @@ HEADLINE = [
     "zhihu_user_items",      # round 2: nested-array item family
     "dedup_clusters",        # round 2: CC survivor resolution
     "bm25_topk",             # round 2: BM25 keyword retrieval
+    "ann_ivf_topk",          # round 2: IVF centroid-partitioned ANN
 ]
 
 

@@ -1797,6 +1797,35 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.v) AS c
+          FROM q JOIN e ON e.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)::INT AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-ANN (builder brief: "an IVF or LSH-bucketed variant as the scale
+    path") — deterministic k-means coarse quantizer, map-only cluster
+    assignment, per-query nprobe centroid-list probing, exact cosine
+    rescore. At nprobe = n_list every inverted list is probed, so the
+    result EQUALS the brute-force top-5 and the oracle is the exact SQL —
+    the same value-checkability contract as ann_lsh_topk. Partial-probe
+    recall floors (nprobe < n_list) are asserted in
+    tests/test_pipeline_ops.py."""
+    e = T(spark, sf_dir, "embeddings")
+    return vectorops.ivf_topk(
+        e, e.where(F.col("vec_id") < 10), k=5, n_list=8, nprobe=8, iters=2
+    )
+
+
 # =====================================================================
 # Multimodal plumbing
 # =====================================================================

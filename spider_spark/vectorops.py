@@ -149,6 +149,120 @@ def lsh_topk(
     )
 
 
+def _centroid_literal(cents: list[list[float]]) -> Column:
+    """Centroids as an array<struct<cid,cv>> literal — the broadcast-model
+    shape: n_list × dim doubles live in the plan itself, so cluster
+    assignment is a pure per-row expression (no join, no shuffle)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>").alias("cv"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def _probe_order_col(vec: Column, cents: list[list[float]]) -> Column:
+    """Centroid ids ordered by descending cosine to ``vec`` (ties by cid) —
+    computed entirely within the row via array_sort over (−cos, cid)."""
+    scored = F.transform(
+        _centroid_literal(cents),
+        lambda s: F.struct(
+            (-cosine_col(vec, s["cv"])).alias("negcos"), s["cid"].alias("cid")
+        ),
+    )
+    return F.transform(F.array_sort(scored), lambda s: s["cid"])
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_list: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init = the n_list vectors with the smallest xxhash64(id) (a seeded
+    sample, reproducible anywhere). Each iteration is one small job:
+    assignment is the per-row argmax-cosine expression (map-only), the
+    update is posexplode → groupBy(cid, dim) avg → collect of exactly
+    n_list × dim rows. The model is tiny by construction (e.g. 256 × 64
+    doubles), so driver materialization here is the broadcast-variable
+    pattern, not a scale hazard — the corpus itself never leaves the
+    executors."""
+    v = vectors.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
+    init = (
+        v.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n_list)
+        .select("_v")
+        .collect()
+    )
+    cents = [list(r["_v"]) for r in init]
+    for _ in range(iters):
+        assigned = v.withColumn("_cid", _probe_order_col(F.col("_v"), cents)[0])
+        sums = (
+            assigned.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cid", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = {r["_cid"]: dict() for r in sums}
+        for r in sums:
+            new[r["_cid"]][r["_dim"]] = r["_m"]
+        cents = [
+            [new[c][d] for d in range(len(cents[c]))] if c in new else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_list: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the centroid-partitioned
+    scale path next to the LSH one: corpus rows are bucketed by nearest
+    k-means centroid (map-only expression), each query probes its nprobe
+    nearest centroid lists, and only those lists are scored with the exact
+    cosine ranker. Candidate volume ≈ nprobe/n_list of the corpus; at
+    nprobe = n_list every list is probed and the result equals
+    brute_force_topk exactly (the oracle configuration). Same contract as
+    lsh_topk: recall floors for partial probes are asserted in tests."""
+    cents = kmeans_centroids(vectors, n_list, iters, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_cid", _probe_order_col(F.col("_v"), cents)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("_qv")
+    ).select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.slice(_probe_order_col(F.col("_qv"), cents), 1, nprobe)
+        ).alias("_cid"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("_qv"), F.col("_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_recall_at_k(
     vectors: DataFrame,
     queries: DataFrame,

@@ -208,6 +208,30 @@ def test_lsh_topk_recall_contract(spark, emb):
     assert all(r.recall == 1.0 for r in tuned.collect())
 
 
+def test_ivf_topk_recall_contract(spark, emb):
+    """IVF-ANN carries the same contract as LSH: full probe (nprobe =
+    n_list) reproduces brute force EXACTLY (hence the exact-SQL oracle for
+    ann_ivf_topk), partial probes hold measured recall floors that rise
+    monotonically, and the k-means fit is deterministic."""
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in vectorops.brute_force_topk(emb, q, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank)
+            for r in vectorops.ivf_topk(emb, q, k=5, n_list=8, nprobe=8).collect()}
+    assert full == exact
+    truth = {(a, b) for a, b, _ in exact}
+    floors = {2: 0.3, 4: 0.6, 6: 0.85}
+    last = 0.0
+    for nprobe, floor in sorted(floors.items()):
+        got = {(r.query_id, r.neighbor_id)
+               for r in vectorops.ivf_topk(emb, q, k=5, n_list=8, nprobe=nprobe).collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= floor, (nprobe, recall)
+        assert recall >= last, "recall must not drop as nprobe grows"
+        last = recall
+    assert vectorops.kmeans_centroids(emb, 8, 2) == vectorops.kmeans_centroids(emb, 8, 2)
+
+
 def test_gold_cross_volume_flag_fires(spark):
     """Constructed series exercising the flag=1 branch the sf fixture never
     hits (crash_callback.py:164-185): gold cross at the last bar, dead
