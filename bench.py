@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_clusters",        # round 2: CC survivor resolution
     "bm25_topk",             # round 2: BM25 keyword retrieval
     "ann_ivf_topk",          # round 2: IVF centroid-partitioned ANN
+    "decontaminate_overlap",  # round 2: train/eval 5-gram decontamination
+    "repetition_scores",     # round 2: Gopher-style repetition gate
+    "sample_stratified_lang",  # round 2: deterministic stratified sampling
 ]
 
 

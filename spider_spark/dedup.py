@@ -114,6 +114,54 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
     )
 
 
+# --------------------------------------------------------- decontamination
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination scan — the standard webtext-pipeline step
+    of dropping training docs that share word n-grams with an evaluation
+    set (the reference has no analog; this is builder-brief pipeline
+    surface). Returns (doc_id, n_overlap) for corpus docs sharing ≥
+    ``min_overlap`` DISTINCT n-grams with any benchmark doc.
+
+    Scale shape: the benchmark side is small by construction, so its
+    distinct shingle set broadcasts and the corpus side streams through a
+    map-side hash join — no shuffle of the corpus, no pairwise blowup
+    (overlap counts aggregate per corpus doc, not per (doc, bench) pair)."""
+    c = shingle_table(corpus, n, id_col, text_col)
+    b = (
+        shingle_table(benchmark, n, id_col, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus contaminated docs (anti-join on the overlap scan)."""
+    bad = contamination_overlap(corpus, benchmark, n, min_overlap, id_col, text_col)
+    return corpus.join(
+        bad.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 # ------------------------------------------------------------- minhash+lsh
 def minhash_lsh_pairs(
     docs: DataFrame,

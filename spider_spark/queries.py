@@ -1743,6 +1743,135 @@ def dedup_embedding_bucketed(spark, sf_dir):
     )
 
 
+@q(
+    "decontaminate_overlap",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_sql_shingles(5)}) AS shingle FROM tok),
+    bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 7 = 0)
+    SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+    FROM g JOIN bench USING(shingle)
+    WHERE g.doc_id % 7 != 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Train/eval decontamination (standard webtext-pipeline step): corpus
+    docs sharing any word 5-gram with the benchmark split (doc_id % 7 == 0
+    plays the eval set). Benchmark shingles broadcast; corpus streams —
+    no corpus shuffle, no pairwise blowup."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.contamination_overlap(
+        d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0), n=5
+    )
+
+
+@q(
+    "repetition_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, w,
+                 list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                i -> w[i] || ' ' || w[i+1]) AS grams
+          FROM tok),
+    base AS (SELECT doc_id, len(grams)::INT AS n_2grams,
+                    len(list_distinct(grams))::INT AS n_distinct_2grams, w
+             FROM g),
+    u AS (SELECT doc_id, unnest(w) AS tokn FROM tok),
+    cnt AS (SELECT doc_id, tokn, count(*) AS c FROM u GROUP BY 1, 2),
+    topf AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf FROM cnt GROUP BY 1)
+    SELECT b.doc_id, n_2grams, n_distinct_2grams,
+           round(CASE WHEN n_2grams = 0 THEN 0
+                      ELSE 1 - n_distinct_2grams::DOUBLE / n_2grams END, 6)
+             AS dup_2gram_frac,
+           round(coalesce(tf, 0), 6) AS top_unigram_frac
+    FROM base b LEFT JOIN topf USING(doc_id)
+    """,
+)
+def repetition_scores(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (quality filtering for
+    training data): duplicate-2-gram fraction (within-row HOFs, map-only)
+    and top-unigram frequency fraction (explode → two-level agg, map-side
+    combine). Both quality gates the standard webtext pipelines cut on."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("w"))
+    grams = toks.select(
+        "doc_id", "w", textops.grams_all_col(F.col("w"), 2).alias("grams")
+    )
+    base = grams.select(
+        "doc_id",
+        "w",
+        F.size("grams").alias("n_2grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct_2grams"),
+    )
+    cnt = (
+        toks.select("doc_id", F.explode("w").alias("tokn"))
+        .groupBy("doc_id", "tokn")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topf = cnt.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("tf")
+    )
+    return (
+        base.join(topf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_2grams",
+            "n_distinct_2grams",
+            F.round(
+                F.when(F.col("n_2grams") == 0, F.lit(0.0)).otherwise(
+                    1 - F.col("n_distinct_2grams").cast("double") / F.col("n_2grams")
+                ),
+                6,
+            ).alias("dup_2gram_frac"),
+            F.round(F.coalesce(F.col("tf"), F.lit(0.0)), 6).alias("top_unigram_frac"),
+        )
+    )
+
+
+_SAMPLE_HASH_SQL = textops.hash60_sql("'sample:' || doc_id::VARCHAR")
+
+
+@q(
+    "sample_hash_10pct",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ({_SAMPLE_HASH_SQL}) % 1000000 < 100000
+    """,
+)
+def sample_hash_10pct(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample (shared-md5 threshold): a
+    map-only pushdown-able filter whose membership is identical on every
+    run, engine, and cluster size — what DataFrame.sample cannot promise."""
+    from spider_spark import sampling
+
+    return sampling.hash_sample(
+        T(spark, sf_dir, "documents"), 0.10, "doc_id"
+    ).select("doc_id", "lang")
+
+
+@q(
+    "sample_stratified_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ({_SAMPLE_HASH_SQL}), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 25
+    """,
+)
+def sample_stratified_lang(spark, sf_dir):
+    """Exact 25-per-language stratified sample by hash rank — balanced
+    curation quotas over a skewed language mix; each stratum ranks inside
+    its own window partition."""
+    from spider_spark import sampling
+
+    return sampling.stratified_sample(
+        T(spark, sf_dir, "documents"), "lang", 25, "doc_id"
+    ).select("doc_id", "lang")
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

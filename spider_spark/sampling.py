@@ -1,0 +1,63 @@
+"""Deterministic sampling for corpus curation.
+
+A training-data pipeline needs samples that are REPRODUCIBLE — the same
+rows selected on every run, at every cluster size, from either engine.
+``DataFrame.sample`` gives none of that (its outcome depends on partition
+layout and seed plumbing), so these operators derive membership from the
+shared cross-engine md5 hash (textops.hash60) of a key column:
+
+- hash_sample: Bernoulli p-sample, map-only — a pushdown-able filter, no
+  shuffle, no state; composable with any downstream operator.
+- stratified_sample: exact per-stratum quotas by hash rank — one window
+  over an Exchange(strata) (each stratum ranks independently, so skewed
+  strata parallelize across their own partition, and quotas cap the
+  output regardless of stratum size).
+
+Scale: both are single-pass; hash_sample survives any corpus size
+unchanged, stratified_sample's window sees only per-stratum rows and the
+quota keeps result volume bounded. No reference analog (the reference
+never samples); builder-brief pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spider_spark.textops import hash60
+
+SAMPLE_MOD = 1_000_000
+
+
+def sample_hash_col(key: Column, salt: str = "sample") -> Column:
+    """The sampling hash: hash60 of 'salt:key', reproducible in DuckDB as
+    textops.hash60_sql over the same concatenation."""
+    return hash60(F.concat_ws(":", F.lit(salt), key.cast("string")))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose sampling hash lands
+    under ``rate`` of the modulus. Same rows selected everywhere."""
+    bucket = F.pmod(sample_hash_col(F.col(key_col), salt), F.lit(SAMPLE_MOD))
+    return df.where(bucket < int(rate * SAMPLE_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Exact ``quota`` rows per stratum, picked by ascending sampling hash
+    (ties broken by the key, so the pick is total-ordered and stable)."""
+    h = sample_hash_col(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .where(F.col("_srn") <= quota)
+        .drop("_srn")
+    )

@@ -43,19 +43,25 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def grams_col(toks: Column, n: int) -> Column:
-    """Distinct word n-grams over a BOUND token-array column.
+def grams_all_col(toks: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept) over a BOUND token-array column —
+    the within-doc repetition signals need multiplicity.
 
     Must be given a materialized column (two-step select), not the
     tokens_col(text) expression inline: each element_at over an expression
     re-evaluates the whole split+filter, turning shingling quadratic —
     measured 3.5× slower on the corpus."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    gram = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
     )
-    return F.array_distinct(gram)
+
+
+def grams_col(toks: Column, n: int) -> Column:
+    """Distinct word n-grams over a BOUND token-array column (see
+    grams_all_col for the binding caveat)."""
+    return F.array_distinct(grams_all_col(toks, n))
 
 
 def word_shingles_col(text: Column, n: int = 3) -> Column:

@@ -208,6 +208,32 @@ def test_lsh_topk_recall_contract(spark, emb):
     assert all(r.recall == 1.0 for r in tuned.collect())
 
 
+def test_decontaminate_removes_planted_overlap(spark, docs):
+    """A corpus doc sharing a 5-gram with the benchmark set is dropped by
+    decontaminate(); untouched docs survive; the overlap scan reports the
+    planted doc with the right distinct-gram count."""
+    bench = spark.createDataFrame(
+        [(900001, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    planted = spark.createDataFrame(
+        [
+            (900002, "intro words then the quick brown fox jumps over and out"),
+            (900003, "completely unrelated text with no shared five gram runs"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    hits = {r.doc_id: r.n_overlap
+            for r in dedup.contamination_overlap(corpus, bench, n=5).collect()}
+    assert 900002 in hits and hits[900002] == 2  # two sliding 5-grams match
+    assert 900003 not in hits
+    clean = dedup.decontaminate(corpus, bench, n=5)
+    ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert 900002 not in ids and 900003 in ids
+    assert corpus.count() - clean.count() == len(hits)
+
+
 def test_ivf_topk_recall_contract(spark, emb):
     """IVF-ANN carries the same contract as LSH: full probe (nprobe =
     n_list) reproduces brute force EXACTLY (hence the exact-SQL oracle for
