@@ -162,6 +162,68 @@ def decontaminate(
     )
 
 
+# ----------------------------------------------------------- line-level dedup
+def duplicated_lines(
+    lines: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+) -> DataFrame:
+    """Lines that occur in ≥ ``min_docs`` DISTINCT docs — the RefinedWeb /
+    C4 boilerplate signal (cookie banners, nav bars, footers repeat across
+    a site; prose doesn't). Input is an exploded (doc_id, pos, line) table.
+
+    Scale shape: one shuffle keyed on the line text with a two-level
+    count-distinct agg (map-side partial per line hash). No pairwise
+    anything — cost is linear in total line volume, and the hot
+    boilerplate lines are exactly the ones whose groups AQE splits."""
+    return (
+        lines.groupBy(line_col)
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dedup_lines(
+    lines: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    sep: str = " | ",
+) -> DataFrame:
+    """Remove cross-doc duplicated lines and reassemble each doc's
+    remaining lines in position order → (doc_id, text, n_kept, n_dropped).
+
+    Plan shape: the bad-line scan above, an anti-join on the line text
+    (regular hash join — the bad set is unbounded at corpus scale, so no
+    broadcast), then one groupBy(doc) whose collect_list is sorted
+    in-expression (array_sort on (pos, line) structs) — the sort is
+    per-row over a doc's own lines, never a global orderBy."""
+    bad = duplicated_lines(lines, min_docs, id_col, line_col).select(line_col)
+    n_all = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    kept = lines.join(bad, line_col, "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, line_col))),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        n_all.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 # ------------------------------------------------------------- minhash+lsh
 def minhash_lsh_pairs(
     docs: DataFrame,

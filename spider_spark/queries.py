@@ -1872,6 +1872,223 @@ def sample_stratified_lang(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@q(
+    "pii_redact",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || doc_id::VARCHAR
+               || '@mail.example.com or 10.0.' || (doc_id % 256)::VARCHAR
+               || '.7 tel 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS raw
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(raw, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ip,
+           len(regexp_extract_all(raw, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text
+    FROM s
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub (standard webtext-pipeline privacy pass): per-row
+    synthesized email/IP/phone (the corpus is PII-free by construction, so
+    the fixture plants one of each, keyed to doc_id) → typed placeholders,
+    with pre-redaction hit counts. Whole pass is chained JVM regex — one
+    codegen'd map, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        "",
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    s = d.select("doc_id", raw.alias("raw"))
+    counts = textops.pii_count_cols(F.col("raw"))
+    return s.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        textops.redact_pii_col(F.col("raw")).alias("clean_text"),
+    )
+
+
+_SQL_LINES = """
+    tok AS (SELECT doc_id, source, {toks} AS w FROM documents),
+    chunked AS (SELECT doc_id, source,
+        list_transform(generate_series(1, cast(ceil(len(w) / 6.0) AS INT)),
+                       i -> array_to_string(w[(i-1)*6+1 : (i-1)*6+6], ' ')) AS chunks
+      FROM tok),
+    l AS (SELECT doc_id,
+        list_concat(list_concat(['accept cookies to continue'], chunks),
+                    ['copyright ' || source]) AS ls
+      FROM chunked),
+    lines AS (SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos,
+                     unnest(ls) AS line FROM l)
+"""
+
+
+def _doc_lines(spark, sf_dir):
+    """The line-dedup fixture: token chunks of 6 as 'lines', plus planted
+    boilerplate (a global cookie banner + a per-source copyright footer) —
+    exactly what cross-doc line dedup exists to strip."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", textops.tokens_col(F.col("text")).alias("w"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("w") / F.lit(6)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), (i - 1) * 6 + 1, F.lit(6))),
+    )
+    ls = F.concat(
+        F.array(F.lit("accept cookies to continue")),
+        chunks,
+        F.array(F.concat(F.lit("copyright "), F.col("source"))),
+    )
+    return toks.select("doc_id", F.posexplode(ls).alias("pos", "line"))
+
+
+@q(
+    "line_dedup_boilerplate",
+    f"""
+    WITH {_SQL_LINES.format(toks=_SQL_TOKENS)},
+    bad AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (SELECT lines.* FROM lines ANTI JOIN bad USING (line)),
+    rebuilt AS (SELECT doc_id, string_agg(line, ' | ' ORDER BY pos) AS text,
+                       count(*) AS n_kept FROM kept GROUP BY doc_id),
+    n_all AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT doc_id, coalesce(text, '') AS text,
+           coalesce(n_kept, 0)::BIGINT AS n_kept,
+           (n_lines - coalesce(n_kept, 0))::BIGINT AS n_dropped
+    FROM n_all LEFT JOIN rebuilt USING (doc_id)
+    """,
+)
+def line_dedup_boilerplate(spark, sf_dir):
+    """RefinedWeb/C4-style cross-doc line dedup: lines occurring in ≥2
+    distinct docs (the planted cookie banner + per-source footers, and any
+    natural 6-gram chunk collisions) are stripped; each doc reassembles in
+    position order. One count-distinct shuffle on the line text + one
+    anti-join + one per-doc agg — linear, no pairwise step."""
+    return dedup.dedup_lines(_doc_lines(spark, sf_dir), min_docs=2)
+
+
+_SPLIT_HASH_SQL = textops.hash60_sql("'split:' || doc_id::VARCHAR")
+
+
+@q(
+    "split_assign",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN ({_SPLIT_HASH_SQL}) % 1000000 < 900000 THEN 'train'
+                WHEN ({_SPLIT_HASH_SQL}) % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by hash bucket: map-only,
+    stable under corpus growth (membership is a pure function of the row
+    key), identical at any cluster size — the property DataFrame.sample /
+    randomSplit cannot give a reproducible data pipeline."""
+    from spider_spark import sampling
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        sampling.split_col(
+            F.col("doc_id"), {"train": 0.90, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+
+
+@q(
+    "nfc_normalize",
+    """
+    WITH s AS (SELECT doc_id, substr(text, 1, 30) || ' café naïve' AS raw
+               FROM documents)
+    SELECT doc_id, length(raw)::BIGINT AS n_cp_raw,
+           nfc_normalize(raw) AS norm_text,
+           length(nfc_normalize(raw))::BIGINT AS n_cp_norm
+    FROM s
+    """,
+)
+def nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (crawled text mixes composed/decomposed
+    graphemes; dedup hashes disagree until this runs): Arrow-batched pandas
+    UDF (Series.str.normalize) — the fixture plants decomposed 'cafe'+U+0301
+    / 'nai'+U+0308've', which NFC folds to single codepoints (codepoint
+    counts drop by 2)."""
+    d = T(spark, sf_dir, "documents")
+    nfc = textops.nfc_normalize_udf()
+    s = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 30), F.lit(" café naïve")).alias("raw"),
+    )
+    return s.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("n_cp_raw"),
+        nfc(F.col("raw")).alias("norm_text"),
+        F.length(nfc(F.col("raw"))).cast("long").alias("n_cp_norm"),
+    )
+
+
+@q(
+    "domain_mix",
+    """
+    WITH agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+                        sum(n_chars)::BIGINT AS n_chars
+                 FROM documents GROUP BY source),
+    sh AS (SELECT *, n_docs::DOUBLE / sum(n_docs) OVER () AS share,
+                  sum(n_docs) OVER (ORDER BY n_docs DESC, source
+                                    ROWS UNBOUNDED PRECEDING)::DOUBLE
+                    / sum(n_docs) OVER () AS cum
+           FROM agg)
+    SELECT source, n_docs, n_chars, round(share, 6) AS share,
+           round(cum, 6) AS cum_share,
+           CASE WHEN cum <= 0.5 THEN 'head' WHEN cum <= 0.9 THEN 'mid'
+                ELSE 'tail' END AS bucket
+    FROM sh
+    """,
+)
+def domain_mix(spark, sf_dir):
+    """Domain-mix report (Dolma/CC-style curation planning): per-source doc
+    and char volume, corpus share, cumulative share in descending-volume
+    order, head/mid/tail bucket. The groupBy reduces before any window —
+    the windows run over the tiny per-domain aggregate, not the corpus."""
+    d = T(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.col("n_docs").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sh = agg.select(
+        "source", "n_docs", "n_chars", share.alias("share"),
+        (F.sum("n_docs").over(w_cum).cast("double") / F.sum("n_docs").over(w_all)).alias("cum"),
+    )
+    return sh.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round("share", 6).alias("share"),
+        F.round("cum", 6).alias("cum_share"),
+        F.when(F.col("cum") <= 0.5, "head")
+        .when(F.col("cum") <= 0.9, "mid")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

@@ -45,6 +45,28 @@ def hash_sample(
     return df.where(bucket < int(rate * SAMPLE_MOD))
 
 
+def split_col(
+    key: Column, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Deterministic train/val/test assignment: a CASE chain over the
+    sampling-hash bucket, so every row lands in exactly one split, the
+    assignment is identical on every engine and cluster size, and a row
+    never migrates between splits when the corpus grows (membership
+    depends only on the row's own key). Weights must sum to ≤ 1; any
+    remainder falls to the LAST split."""
+    names = list(weights)
+    bucket = F.pmod(sample_hash_col(key, salt), F.lit(SAMPLE_MOD))
+    expr = F.lit(names[-1])
+    hi = 0.0
+    cuts: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        hi += weights[name]
+        cuts.append((name, int(hi * SAMPLE_MOD)))
+    for name, cut in reversed(cuts):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return expr
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

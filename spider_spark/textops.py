@@ -206,6 +206,55 @@ def quality_cols(text: Column) -> dict[str, Column]:
     }
 
 
+# --------------------------------------------------------------- PII redact
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs, explicit character classes.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Exact per-kind PII hit counts (JVM regexp_count; the email pass must
+    run the counts BEFORE redaction since <EMAIL> kills later matches)."""
+    return {
+        "n_email": F.regexp_count(text, F.lit(PII_PATTERNS[0][0])).cast("long"),
+        "n_ip": F.regexp_count(text, F.lit(PII_PATTERNS[1][0])).cast("long"),
+        "n_phone": F.regexp_count(text, F.lit(PII_PATTERNS[2][0])).cast("long"),
+    }
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Standard webtext-pipeline PII scrub (emails, IPv4, phone numbers →
+    typed placeholders). A chained JVM regexp_replace — one codegen'd map
+    pass, no shuffle, no Python; email first so its dots never feed the IP
+    pattern."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------- unicode normalize
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer; ICU lives JVM-side but isn't exposed as a SQL
+    function). Vectorized ``Series.str.normalize`` — one C pass per batch,
+    no per-row Python. DuckDB twin: ``nfc_normalize(text)``.
+
+    Web-crawled text mixes composed and decomposed forms of the same
+    grapheme ('é' vs 'e'+U+0301); every downstream exact/dedup hash treats
+    them as different documents unless normalization runs first."""
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return nfc
+
+
 # -------------------------------------------------------------- fingerprints
 def fingerprint_cols(grams: Column) -> dict[str, Column]:
     """Document fingerprint over a bound grams column: hash the word n-gram

@@ -234,6 +234,65 @@ def test_decontaminate_removes_planted_overlap(spark, docs):
     assert corpus.count() - clean.count() == len(hits)
 
 
+def test_line_dedup_strips_boilerplate_keeps_order(spark):
+    """Shared lines (banner in all docs, footer in two) are stripped;
+    unique lines survive in position order; a fully-boilerplate doc
+    rebuilds to empty text with the right drop count."""
+    rows = []
+    for d in (1, 2):
+        rows += [(d, 0, "accept cookies"), (d, 1, f"unique body {d}"),
+                 (d, 2, "site footer")]
+    rows += [(3, 0, "accept cookies"), (3, 1, "site footer")]
+    lines = spark.createDataFrame(rows, "doc_id long, pos int, line string")
+    out = {r.doc_id: r for r in dedup.dedup_lines(lines, min_docs=2).collect()}
+    assert out[1].text == "unique body 1" and out[1].n_kept == 1 and out[1].n_dropped == 2
+    assert out[2].text == "unique body 2"
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_dropped == 2
+
+
+def test_pii_redact_multiple_hits(spark):
+    from spider_spark import textops
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d+x@e.org ip 10.0.0.1 tel 555-123-4567 done")],
+        "id long, text string",
+    )
+    counts = textops.pii_count_cols(F.col("text"))
+    r = df.select(
+        textops.redact_pii_col(F.col("text")).alias("clean"),
+        *[c.alias(n) for n, c in counts.items()],
+    ).first()
+    assert r.clean == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> done"
+    assert (r.n_email, r.n_ip, r.n_phone) == (2, 1, 1)
+
+
+def test_split_assign_deterministic_and_partitioned(spark, docs):
+    from spider_spark import sampling
+
+    lbl = sampling.split_col(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05})
+    a = {r.doc_id: r.s for r in docs.select("doc_id", lbl.alias("s")).collect()}
+    b = {r.doc_id: r.s
+         for r in docs.repartition(13).select("doc_id", lbl.alias("s")).collect()}
+    assert a == b  # layout-independent assignment
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"} and c["train"] > c["val"] + c["test"]
+
+
+def test_nfc_normalize_folds_decomposed(spark):
+    from spider_spark import textops
+
+    nfc = textops.nfc_normalize_udf()
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301 nai\u0308ve ascii")], "id long, t string"
+    )
+    r = df.select(nfc(F.col("t")).alias("n"), F.length("t").alias("lr"),
+                  F.length(nfc(F.col("t"))).alias("ln")).first()
+    assert r.n == "caf\u00e9 na\u00efve ascii"
+    assert r.lr - r.ln == 2
+
+
 def test_ivf_topk_recall_contract(spark, emb):
     """IVF-ANN carries the same contract as LSH: full probe (nprobe =
     n_list) reproduces brute force EXACTLY (hence the exact-SQL oracle for
