@@ -57,6 +57,8 @@ HEADLINE = [
     "decontaminate_overlap",  # round 2: train/eval 5-gram decontamination
     "repetition_scores",     # round 2: Gopher-style repetition gate
     "sample_stratified_lang",  # round 2: deterministic stratified sampling
+    "line_dedup_boilerplate",  # round 2: cross-doc boilerplate strip
+    "curate_corpus",         # round 2: composed end-to-end curation pipeline
 ]
 
 

@@ -1,0 +1,110 @@
+"""End-to-end corpus curation: the composed webtext training-data pipeline.
+
+One declarative DataFrame chain that strings the individual operators this
+engine provides into the standard curation sequence a 100 TB web corpus
+actually runs (C4/Gopher/RefinedWeb-style):
+
+    1. quality gate        — length floor, punctuation cap, language
+                             allowlist, stopword floor (textops.quality_cols)
+    2. repetition gate     — duplicate-2-gram fraction cap (Gopher)
+    3. exact dedup         — min-id survivor per md5(text)
+    4. decontamination     — drop docs sharing word 5-grams with the
+                             benchmark/eval set (dedup.decontaminate)
+    5. split assignment    — deterministic hash-bucket train/val/test
+                             (sampling.split_col)
+
+Plan shape at scale: stages 1-2 are map-only projections/filters fused
+into the scan (whole-stage codegen, pushdown-able); stage 3 is one
+Exchange(md5(text)) window; stage 4 is a broadcast hash join against the
+(small) benchmark shingle set plus one per-doc agg; stage 5 is map-only.
+Total: two shuffles for the whole pipeline, both keyed on things that
+cannot skew pathologically (a cryptographic text hash; per-doc ids).
+Cheap gates run first so each shuffle sees only surviving rows.
+
+No reference analog (the reference crawls; it never curates) — this is
+builder-brief training-data-pipeline surface, and the flagship
+composition showing the operators are mutually compatible, not just
+individually green.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spider_spark import dedup, sampling, textops
+
+DEFAULT_SPLITS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    min_tokens: int = 12,
+    langs: tuple[str, ...] = ("en", "zh"),
+    max_dup2: float = 0.5,
+    contamination_n: int = 5,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the full curation pipeline; returns
+    (doc_id, lang, n_tokens, split) for every surviving doc."""
+    split_weights = split_weights or DEFAULT_SPLITS
+    qc = textops.quality_cols(F.col(text_col))
+    lang = textops.lang_id_col(F.col(text_col))
+
+    # 1. quality gate — keep-rules are the negation of corpus_keep_filter's
+    # drop cascade, evaluated in one codegen'd pass over the scan.
+    gated = docs.select(
+        id_col,
+        text_col,
+        lang.alias("lang"),
+        qc["n_tokens"].alias("n_tokens"),
+        textops.tokens_col(F.col(text_col)).alias("_w"),
+    ).where(
+        (qc["n_tokens"] >= min_tokens)
+        & (qc["n_punct"] * 5 <= qc["n_chars"])
+        & lang.isin(*langs)
+        & (qc["stopword_ratio"] * 100 >= 2)
+    )
+
+    # 2. repetition gate — grams over the BOUND token array (binding caveat
+    # in textops.grams_all_col), still map-only.
+    g2 = textops.grams_all_col(F.col("_w"), 2)
+    rep = gated.select(
+        id_col, text_col, "lang", "n_tokens", "_w",
+        F.when(F.size(g2) == 0, F.lit(0.0))
+        .otherwise(1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2))
+        .alias("_d2"),
+    ).where(F.col("_d2") <= max_dup2)
+
+    # 3. decontamination — benchmark shingles broadcast; corpus streams.
+    # Runs BEFORE exact dedup although the stages commute exactly
+    # (contamination is a pure function of text, so every exact-duplicate
+    # of a doc is uniformly contaminated): the anti-join references its
+    # input lineage twice, and here that lineage is still map-only — the
+    # recompute costs a second columnar scan, not a second window shuffle.
+    rep = rep.drop("_d2", "_w")
+    clean = dedup.decontaminate(
+        rep, benchmark, n=contamination_n, id_col=id_col, text_col=text_col
+    )
+
+    # 4. exact dedup — min-id survivor per content hash; the pipeline's
+    # only wide shuffle, run once over rows that survived every gate.
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    surv = (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 5. split assignment — map-only hash buckets.
+    return surv.select(
+        id_col,
+        "lang",
+        "n_tokens",
+        sampling.split_col(F.col(id_col), split_weights).alias("split"),
+    )

@@ -2089,6 +2089,58 @@ def domain_mix(spark, sf_dir):
     )
 
 
+@q(
+    "curate_corpus",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS w, ' ' || text || ' ' AS p
+               FROM documents WHERE doc_id % 7 != 0),
+    q0 AS (SELECT doc_id, text, w,
+             len(w)::BIGINT AS n_tokens,
+             length(text)::BIGINT AS n_chars,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct,
+             CASE WHEN len(w) > 0
+                  THEN len(list_filter(w, x -> x IN ('the','a','and','of','to')))::DOUBLE / len(w)::DOUBLE
+                  ELSE 0.0 END AS stopword_ratio,
+             {" , ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in sorted(textops.LANG_MARKERS))}
+           FROM t),
+    m AS (SELECT *, greatest({', '.join('s_' + l for l in sorted(textops.LANG_MARKERS))}) AS m FROM q0),
+    gate AS (SELECT doc_id, text, w, n_tokens, ({_LANG_CASE}) AS lang FROM m
+             WHERE n_tokens >= 12 AND n_punct * 5 <= n_chars
+               AND ({_LANG_CASE}) IN ('en', 'zh') AND stopword_ratio * 100 >= 2),
+    rep AS (SELECT *, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                     i -> w[i] || ' ' || w[i+1]) AS g2 FROM gate),
+    repok AS (SELECT doc_id, text, w, n_tokens, lang FROM rep
+              WHERE CASE WHEN len(g2) = 0 THEN 0
+                         ELSE 1 - len(list_distinct(g2))::DOUBLE / len(g2) END <= 0.5),
+    surv AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM repok) WHERE rn = 1),
+    bw AS (SELECT {_SQL_TOKENS} AS w FROM documents WHERE doc_id % 7 = 0),
+    bg AS (SELECT DISTINCT unnest({_sql_shingles(5)}) AS shingle FROM bw),
+    sg AS (SELECT doc_id, unnest({_sql_shingles(5)}) AS shingle FROM surv),
+    cont AS (SELECT DISTINCT sg.doc_id FROM sg JOIN bg USING (shingle)),
+    clean AS (SELECT surv.* FROM surv ANTI JOIN cont USING (doc_id))
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN ({_SPLIT_HASH_SQL}) % 1000000 < 900000 THEN 'train'
+                WHEN ({_SPLIT_HASH_SQL}) % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clean
+    """,
+)
+def curate_corpus(spark, sf_dir):
+    """THE composed webtext pipeline (quality gate → repetition gate →
+    exact dedup → decontamination → split), one declarative chain through
+    spider_spark.curation.curate — two shuffles total at any scale; the
+    eval set is the doc_id%7==0 slice. Proves the pipeline operators
+    compose, value-identically to the single-CTE relational spec."""
+    from spider_spark import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.curate(
+        d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0)
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

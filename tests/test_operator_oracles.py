@@ -31,6 +31,8 @@ SUBSET = [
     "pagerank_ranks",
     "qcc_xpath_fields",   # round 2: DOM XPath structural extraction
     "gold_cross_volume",  # round 2: composed window screen
+    "curate_corpus",      # round 2: full composed curation pipeline
+    "line_dedup_boilerplate",  # round 2: cross-doc line dedup
 ]
 
 
