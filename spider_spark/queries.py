@@ -2141,6 +2141,42 @@ def curate_corpus(spark, sf_dir):
     )
 
 
+@q(
+    "warc_roundtrip",
+    """
+    SELECT 'https://corpus.example/doc/' || doc_id::VARCHAR AS url,
+           '2026-02-01 00:00:00' AS warc_ts,
+           strlen(text)::BIGINT AS n_payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def warc_roundtrip(spark, sf_dir):
+    """WARC sink→source roundtrip (the Common-Crawl ingest format): docs
+    serialize to per-record-gzip-member .warc.gz files (one per partition,
+    written ON the executors), read back through the binaryFile +
+    mapInPandas source, and must reproduce every byte — the oracle derives
+    the same rows straight from the documents table, so any drift in
+    serializer, record framing, or parser shows up as a value mismatch."""
+    from spider_spark import warc as warcmod
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select(
+        F.concat(F.lit("https://corpus.example/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-02-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text").alias("payload"),
+    ).repartition(8, "url")
+    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    warcmod.write_warc(src, out_dir)
+    back = warcmod.read_warc(spark, f"{out_dir}/*.warc.gz")
+    return back.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        "n_payload_bytes",
+        F.md5(F.encode("payload", "UTF-8")).alias("payload_md5"),
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

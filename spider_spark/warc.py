@@ -1,0 +1,175 @@
+"""WARC source/sink: the Common-Crawl-style ingest format for web corpora.
+
+Implements ISO 28500 (WARC/1.0) response records — the public format
+Common Crawl publishes — as a Spark connector pair:
+
+- :func:`write_warc` — each partition serializes its rows into ONE
+  ``.warc.gz`` file of per-record gzip members (the CC convention: each
+  record is an independent gzip member, so a reader can seek to any
+  record offset and decompress just that member).
+- :func:`read_warc` — ``spark.read.format("binaryFile")`` over a glob,
+  then an Arrow-batched ``mapInPandas`` parser per file. Parallelism
+  granularity is the file — exactly how CC shards its crawls (~100k
+  warc.gz files per snapshot), so a 100 TB read distributes as
+  one-file-per-task with no shuffle at all.
+
+The parser is defensive the way crawl-wild data demands: it scans for
+``WARC/`` magic record-by-record, skips non-response records
+(warcinfo/request/metadata), tolerates a corrupt record by resyncing to
+the next gzip member boundary, and surfaces parse failures as rows with
+an ``error`` column instead of killed tasks.
+
+Reference parity: the reference stores fetched pages as MongoDB documents
+(分布式京东商品详情页/mongo_redis_mgr.py) — WARC is this engine's
+durable-page-store analog, matching the (url, warc_ts, html) row contract
+of BASELINE.json's input hint.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+CRLF = "\r\n"
+
+READ_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("payload", StringType()),
+    StructField("n_payload_bytes", LongType()),
+    StructField("warc_file", StringType()),
+    StructField("error", StringType()),
+])
+
+
+def _record_bytes(url: str, ts: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0{CRLF}"
+        f"WARC-Type: response{CRLF}"
+        f"WARC-Target-URI: {url}{CRLF}"
+        f"WARC-Date: {ts}{CRLF}"
+        f"Content-Type: text/html; charset=utf-8{CRLF}"
+        f"Content-Length: {len(payload)}{CRLF}"
+        f"{CRLF}"
+    ).encode("utf-8")
+    return head + payload + CRLF.encode() * 2
+
+
+def serialize_warc(rows: Iterator[tuple[str, str, bytes]]) -> bytes:
+    """Serialize (url, iso_ts, payload_bytes) tuples into warc.gz bytes —
+    one gzip member per record (CC convention)."""
+    buf = io.BytesIO()
+    for url, ts, payload in rows:
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(_record_bytes(url, ts, payload))
+    return buf.getvalue()
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "payload",
+) -> int:
+    """Write (url, warc_ts, payload) rows as one ``part-NNNNN.warc.gz``
+    per partition under ``out_dir`` (POSIX-shared or local storage; an
+    object-store sink would push the same bytes via its client).
+    Runs on executors — the driver never sees row data. Returns the
+    number of partitions written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_parts = df.rdd.getNumPartitions()
+
+    def _write(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [
+            (r[url_col], r[ts_col].strftime("%Y-%m-%dT%H:%M:%SZ"),
+             r[text_col].encode("utf-8"))
+            for r in it
+        ]
+        if rows:
+            path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(serialize_warc(iter(rows)))
+            os.rename(tmp, path)  # atomic publish: readers never see partials
+
+    df.select(url_col, ts_col, text_col).foreachPartition(_write)
+    return n_parts
+
+
+def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
+    """Parse one warc(.gz) blob into row dicts (defensive, never raises).
+    Handles concatenated gzip members, plain uncompressed WARC, response
+    records only; a malformed record yields an error row and resyncs."""
+    out: list[dict] = []
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.decompress(blob)  # concatenated members decompress in one pass
+        except Exception as e:  # truncated/corrupt archive: surface, keep going
+            return [{"url": None, "warc_ts": None, "payload": None,
+                     "n_payload_bytes": 0, "warc_file": fname,
+                     "error": f"gzip: {e}"}]
+    pos = 0
+    while True:
+        start = blob.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = blob.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        try:
+            headers: dict[str, str] = {}
+            for line in blob[start:hdr_end].decode("utf-8", "replace").split(CRLF)[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers.get("content-length", "0"))
+            payload = blob[hdr_end + 4: hdr_end + 4 + length]
+            pos = hdr_end + 4 + length
+            if headers.get("warc-type") != "response":
+                continue
+            ts = headers.get("warc-date")
+            tsv = pd.Timestamp(ts) if ts else None
+            if tsv is not None and tsv.tzinfo is not None:
+                tsv = tsv.tz_convert("UTC").tz_localize(None)  # naive UTC for Arrow
+            out.append({
+                "url": headers.get("warc-target-uri"),
+                "warc_ts": tsv,
+                "payload": payload.decode("utf-8", "replace"),
+                "n_payload_bytes": len(payload),
+                "warc_file": fname,
+                "error": None,
+            })
+        except Exception as e:
+            pos = hdr_end + 4 if hdr_end > 0 else start + 5
+            out.append({"url": None, "warc_ts": None, "payload": None,
+                        "n_payload_bytes": 0, "warc_file": fname,
+                        "error": f"record: {e}"})
+    return out
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed WARC read: binaryFile scan → per-file Arrow-batched
+    parse. No shuffle; one task per file (CC's sharding unit)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, r in pdf.iterrows():
+                rows.extend(parse_warc_bytes(bytes(r["content"]), r["path"].rsplit("/", 1)[-1]))
+            yield pd.DataFrame(rows, columns=[f.name for f in READ_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(_parse, READ_SCHEMA)

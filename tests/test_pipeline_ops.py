@@ -293,6 +293,43 @@ def test_nfc_normalize_folds_decomposed(spark):
     assert r.lr - r.ln == 2
 
 
+def test_warc_roundtrip_and_defensive_parse(spark, docs, tmp_path):
+    """Sink→source roundtrip preserves every row; the parser skips
+    request records, survives a corrupt gzip file as an error row, and
+    resyncs past a record with a broken Content-Length."""
+    import gzip as _gz
+
+    from spider_spark import warc
+
+    src = docs.limit(50).select(
+        F.concat(F.lit("https://h/x"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-02-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text").alias("payload"),
+    ).repartition(4)
+    out = str(tmp_path / "w")
+    warc.write_warc(src, out)
+    back = warc.read_warc(spark, f"{out}/*.warc.gz")
+    a = {(r.url, r.payload) for r in src.select("url", "payload").collect()}
+    b = {(r.url, r.payload) for r in back.collect()}
+    assert a == b and back.where(F.col("error").isNotNull()).count() == 0
+
+    # adversarial file: request record (skip), broken record (error row +
+    # resync), then a good response record that must still parse
+    good = warc._record_bytes("https://h/ok", "2026-02-01T00:00:00Z", b"fine")
+    req = good.replace(b"WARC-Type: response", b"WARC-Type: request")
+    broken = good.replace(b"Content-Length: 4", b"Content-Length: NaN")
+    (tmp_path / "w" / "adv-00000.warc.gz").write_bytes(
+        _gz.compress(req + broken + good)
+    )
+    (tmp_path / "w" / "corrupt-00000.warc.gz").write_bytes(b"\x1f\x8b\x08junk")
+    again = warc.read_warc(spark, f"{out}/*.warc.gz").collect()
+    errs = [r for r in again if r.error is not None]
+    oks = [r for r in again if r.url == "https://h/ok"]
+    assert len(again) == 50 + 3  # 50 roundtrip + 1 good + 2 error rows
+    assert len(oks) == 1 and oks[0].payload == "fine"
+    assert {e.error.split(":")[0] for e in errs} == {"gzip", "record"}
+
+
 def test_ivf_topk_recall_contract(spark, emb):
     """IVF-ANN carries the same contract as LSH: full probe (nprobe =
     n_list) reproduces brute force EXACTLY (hence the exact-SQL oracle for
