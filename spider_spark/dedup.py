@@ -507,21 +507,28 @@ def embedding_dup_pairs_lsh(
     i.e. smaller buckets). Candidate volume per table ≈ Σ_bucket n_b² — the
     classic LSH trade; no all-pairs anywhere. Recall is asserted against
     the exact path in tests (test_pipeline_ops)."""
-    from spider_spark.vectorops import cosine_col, hyperplane_sketch_col
+    from spider_spark.vectorops import cosine_col, hyperplane_sketch_col, widen
 
-    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cands = None
-    for t in range(n_tables):
-        sk = hyperplane_sketch_col(F.col("v"), n_bits, dim, seed=f"embdup{t}")
-        side = base.select("id", sk.alias("bucket"))
-        pair = (
-            side.alias("a")
-            .join(side.alias("b"), "bucket")
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    base = widen(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # all tables' buckets in ONE pass (same fusion as vectorops.lsh_topk:
+    # the loop formulation scanned the corpus n_tables times)
+    all_buckets = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            hyperplane_sketch_col(F.col("v"), n_bits, dim, seed=f"embdup{t}").alias("bucket"),
         )
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.groupBy("a_id", "b_id").agg(F.lit(1).alias("_one")).drop("_one")
+        for t in range(n_tables)
+    ])
+    side = base.select("id", F.explode(all_buckets).alias("_tb")).select(
+        "id", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket")
+    )
+    pairs_all = (
+        side.alias("a")
+        .join(side.alias("b"), ["t", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+    cands = pairs_all.groupBy("a_id", "b_id").agg(F.lit(1).alias("_one")).drop("_one")
     scored = (
         cands.join(base.select(F.col("id").alias("a_id"), F.col("v").alias("_va")), "a_id")
         .join(base.select(F.col("id").alias("b_id"), F.col("v").alias("_vb")), "b_id")

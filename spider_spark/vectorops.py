@@ -28,6 +28,16 @@ def _to_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when its split count is
+    below the core count — a tiny corpus parquet arrives as ONE split, and
+    a fused sketch projection would then run on one core. At real scale
+    (splits ≫ cores) this is a no-op, so the scale path never pays the
+    extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
@@ -124,23 +134,45 @@ def lsh_topk(
     measured against brute_force_topk in tests (floor asserted) and the
     sf-fixture config is tuned to full recall so the driver's value-level
     oracle (= the exact top-k SQL) stays green."""
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    def all_buckets(vec: Column) -> Column:
+        # every table's bucket in ONE projection over ONE scan — the loop
+        # formulation read the corpus n_tables times (12 scans + 12 joins);
+        # this is the same arithmetic fused into a single explode + join
+        return F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_sketch_col(
+                    vec, n_bits, dim, f"lsh{t}" if t else "lsh"  # t=0 keeps round-1 planes
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+
+    v = widen(vectors).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    cand = None
-    for t in range(n_tables):
-        seed = f"lsh{t}" if t else "lsh"  # t=0 keeps the round-1 planes
-        vt = v.withColumn("bucket", hyperplane_sketch_col(F.col("_v"), n_bits, dim, seed))
-        qt = q.withColumn("bucket", hyperplane_sketch_col(F.col("_qv"), n_bits, dim, seed))
-        p = vt.join(F.broadcast(qt), "bucket").where(
-            F.col("neighbor_id") != F.col("query_id")
-        ).select("query_id", "neighbor_id", "_qv", "_v")
-        cand = p if cand is None else cand.unionByName(p)
+    # probe tables carry ONLY (id, t, bucket) — vectors stay out of the
+    # explode, the join, and the dedup shuffle; they re-attach by id for
+    # the exact rescore (query side broadcast twice: id-tuples + vectors)
+    vt = v.select(
+        "neighbor_id", F.explode(all_buckets(F.col("_v"))).alias("_tb")
+    ).select("neighbor_id", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+    qt = q.select(
+        "query_id", F.explode(all_buckets(F.col("_qv"))).alias("_tb")
+    ).select("query_id", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+    cand = (
+        vt.join(F.broadcast(qt), ["t", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
     if n_tables > 1:
-        # dedup across tables before the (expensive) exact rescore
-        cand = cand.groupBy("query_id", "neighbor_id").agg(
-            F.first("_qv").alias("_qv"), F.first("_v").alias("_v")
-        )
-    scored = cand.withColumn("cos", cosine_col(F.col("_qv"), F.col("_v")))
+        # dedup across tables before the (expensive) exact rescore —
+        # a two-long-column hash agg, the cheapest possible shuffle
+        cand = cand.groupBy("query_id", "neighbor_id").agg(F.lit(1).alias("_one")).drop("_one")
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine_col(F.col("_qv"), F.col("_v")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -238,7 +270,7 @@ def ivf_topk(
     brute_force_topk exactly (the oracle configuration). Same contract as
     lsh_topk: recall floors for partial probes are asserted in tests."""
     cents = kmeans_centroids(vectors, n_list, iters, id_col, vec_col)
-    v = vectors.select(
+    v = widen(vectors).select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("_v")
     ).withColumn("_cid", _probe_order_col(F.col("_v"), cents)[0])
     q = queries.select(
