@@ -273,6 +273,52 @@ def resolve_with_pending(
     return resolve_frontier(base, cat(upd0, updates), cat(chil0, children), cat(inl0, inlinks))
 
 
+def vacuum(workdir: str | Path, keep: int = 2) -> dict:
+    """Snapshot retention GC — the Iceberg ``expireSnapshots`` analog.
+
+    A long crawl accretes one snapshot per round; the frontier copies in
+    old rounds (full COW rewrites, or superseded MOR deltas) dominate the
+    footprint while only the last few rounds are ever read again. Vacuum
+    deletes superseded FRONTIER data strictly older than every base round
+    any of the newest ``keep`` snapshots resolve against, and never
+    touches the append-only history tables (links/items/fetch_log — they
+    are the crawl's output, read as a union across all rounds) or the
+    manifests (each edited in place to drop the deleted tables, so reads
+    of a vacuumed round fail fast on the manifest, not mid-scan).
+
+    Driver-side metadata walk only — no Spark job; safe while no writer
+    is active (same discipline as Iceberg's expire)."""
+    import shutil
+
+    latest = latest_round(workdir)
+    if latest is None:
+        return {"deleted_dirs": 0, "bytes_freed": 0, "cutoff": None}
+    snaps = Path(workdir) / "snapshots"
+    rounds = sorted(
+        int(d.name.split("_")[1])
+        for d in snaps.iterdir()
+        if d.name.startswith("round_") and (d / "manifest.json").exists()
+    )
+    protected = [r for r in rounds if r > latest - keep] or rounds[-1:]
+    cutoff = min(frontier_base_round(workdir, r) for r in protected)
+    deleted, freed = 0, 0
+    for r in rounds:
+        if r >= cutoff:
+            continue
+        rd = _round_dir(workdir, r)
+        m = read_manifest(workdir, r) or {}
+        doomed = [t for t in ("frontier", *MOR_TABLES) if (rd / t).exists()]
+        for t in doomed:
+            freed += sum(f.stat().st_size for f in (rd / t).rglob("*") if f.is_file())
+            shutil.rmtree(rd / t)
+            deleted += 1
+        if doomed:
+            m["tables"] = [t for t in m.get("tables", []) if t not in doomed]
+            m["vacuumed"] = True
+            (rd / "manifest.json").write_text(json.dumps(m))
+    return {"deleted_dirs": deleted, "bytes_freed": freed, "cutoff": cutoff}
+
+
 def read_appended(spark: SparkSession, workdir: str | Path, name: str,
                   upto_round: int | None = None) -> DataFrame | None:
     """Union of an append-only table across all committed snapshots."""

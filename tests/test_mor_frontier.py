@@ -129,3 +129,35 @@ def test_mor_pagerank_round_compacts(spark, inputs, tmp_path):
     assert [r[:10] + r[11:] for r in a] == [r[:10] + r[11:] for r in b]
     for ra, rb in zip(a, b):
         assert abs(ra[10] - rb[10]) <= 1e-12 * max(1.0, abs(ra[10]))
+
+
+def test_vacuum_retention(spark, inputs, tmp_path):
+    """Vacuum drops superseded frontier data, keeps append history and
+    resumability; MOR bases referenced by protected rounds survive."""
+    import os
+
+    for mode, ratio in (("cow", None), ("mor", 0.05)):
+        wd = tmp_path / mode
+        cfg = (CrawlConfig(max_depth=3, max_rounds=20) if mode == "cow"
+               else CrawlConfig(max_depth=3, max_rounds=20, frontier_mode="mor",
+                                compact_ratio=ratio))
+        s = _run(spark, wd, inputs, cfg)
+        assert s.rounds_run >= 4
+        before = _frontier_rows(spark, wd, s.last_round)
+        items_before = tables.read_appended(spark, wd, "items").count()
+        rep = tables.vacuum(wd, keep=2)
+        assert rep["deleted_dirs"] > 0 and rep["bytes_freed"] > 0
+        # frontier of old rounds gone, manifests edited, appends intact
+        for r in range(0, rep["cutoff"]):
+            rd = tables._round_dir(wd, r)
+            if not (rd / "manifest.json").exists():
+                continue
+            assert not (rd / "frontier").exists()
+            m = tables.read_manifest(wd, r)
+            assert m.get("vacuumed") and "frontier" not in m.get("tables", [])
+        assert _frontier_rows(spark, wd, s.last_round) == before
+        assert tables.read_appended(spark, wd, "items").count() == items_before
+        s2 = _run(spark, wd, inputs, cfg, resume=True)
+        assert s2.rounds_run == 0  # finished crawl: resume is a no-op
+        # idempotent: second vacuum frees nothing more
+        assert tables.vacuum(wd, keep=2)["deleted_dirs"] == 0
