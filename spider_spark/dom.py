@@ -524,3 +524,83 @@ class CssSelector:
 
 def css(node: Node, selector: str) -> list[Node]:
     return CssSelector(selector)(node)
+
+
+# ------------------------------------------------------- main content extract
+# Readability-lite boilerplate removal (Mozilla readability / boilerpipe
+# family, public algorithms): score candidate containers by link-density-
+# discounted text mass, excluding chrome subtrees entirely.
+
+NOISE_TAGS = {"script", "style", "nav", "aside", "footer", "header",
+              "form", "noscript", "template", "iframe"}
+CANDIDATE_TAGS = {"div", "article", "main", "section", "body", "td"}
+
+
+def _text_and_link_len(node: Node) -> tuple[int, int]:
+    """(clean text length, link text length) under ``node``, skipping
+    NOISE_TAGS subtrees; whitespace runs count as one char."""
+    total = link = 0
+
+    def walk(n: Node, in_link: bool) -> None:
+        nonlocal total, link
+        for c in n.children:
+            if isinstance(c, str):
+                t = len(" ".join(c.split()))
+                total += t
+                if in_link:
+                    link += t
+            elif c.tag not in NOISE_TAGS:
+                walk(c, in_link or c.tag == "a")
+
+    walk(node, node.tag == "a")
+    return total, link
+
+
+def main_content(root: Node) -> Node | None:
+    """The best candidate container: maximal (text - link_text) *
+    (1 - link_density) — heavy link blocks (menus, related-links boxes)
+    score near zero even when tag names give nothing away; chrome tags
+    (nav/aside/footer/...) are excluded from every score. Ties break to
+    the LAST candidate in document order (the deepest of nested equal
+    scorers, since a parent precedes its child in iter())."""
+    best, best_score = None, 0.0
+    for n in root.iter():
+        if n.tag not in CANDIDATE_TAGS:
+            continue
+        t, l = _text_and_link_len(n)
+        if t == 0:
+            continue
+        score = (t - l) * (1.0 - l / t)
+        if score >= best_score:
+            best, best_score = n, score
+    return best
+
+
+def main_text(root: Node) -> str:
+    """Whitespace-normalized text of the main content (noise subtrees
+    dropped), '' when the page has no scoring container."""
+    node = main_content(root)
+    if node is None:
+        return ""
+    out: list[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                out.append(c)
+            elif c.tag not in NOISE_TAGS:
+                if c.tag in _BLOCK_TAGS:
+                    out.append(" ")  # block boundary = word boundary
+                walk(c)
+                if c.tag in _BLOCK_TAGS:
+                    out.append(" ")
+
+    walk(node)
+    return " ".join("".join(out).split())
+
+
+_BLOCK_TAGS = {
+    "p", "div", "section", "article", "li", "ul", "ol", "tr", "td", "th",
+    "table", "br", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "dd", "dt", "dl",
+}

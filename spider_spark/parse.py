@@ -318,6 +318,22 @@ def dom_links_udf():
     return extract
 
 
+def main_text_udf():
+    """Boilerplate removal (readability-lite, dom.main_text): the standard
+    webtext step between raw fetched HTML and every text-quality operator —
+    nav/menu/footer chrome and link farms must not reach dedup or the
+    quality gates. Arrow-batched; the DOM engine is pure python."""
+    from spider_spark import dom
+
+    @pandas_udf(StringType())
+    def extract(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda raw: None if raw is None else dom.main_text(dom.parse_html_bytes(raw))
+        )
+
+    return extract
+
+
 # --------------------------------------------------------- JSON field maps
 # weibo user projection (weibo/spiders/weibocn.py:31-43): the reference's
 # field_map dict rename-projects 12 fields off the mobile-API JSON. Schema +

@@ -2177,6 +2177,48 @@ def warc_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "main_content_extract",
+    """
+    SELECT doc_id,
+           text || ' Published under the corpus license.' AS main_text,
+           (length(text) + 36)::BIGINT AS n_main_chars
+    FROM documents
+    """,
+)
+def main_content_extract(spark, sf_dir):
+    """Boilerplate removal (readability-lite over the from-scratch DOM):
+    pages synthesized with real chrome — nav + link-farm menu div + aside
+    + entity-laden footer — around an article div holding the document
+    text; the extractor must return exactly the article (link-density
+    scoring kills the menu, NOISE tags kill the rest). The oracle
+    reconstructs the planted article from the raw column, so any
+    over/under-extraction is a value mismatch."""
+    d = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<Html><head><title>Doc</title></head><BODY>'
+            '<NAV><a href="/">Home</a> <a href="/x">More &amp; More</a></nav>'
+            '<div class="menu"><a href="/1">one two three</a> '
+            '<a href="/2">four five six seven</a></div>'
+            '<DIV id="main" class="content"><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            "</p>\n<p>Published under the corpus license.</p></div>"
+            '<aside><a href="/r">related</a> sidebar words that must not leak</aside>'
+            "<footer>&copy; 2026 corpus &amp; co</footer></body></html>"
+        ),
+    )
+    ex = parse.main_text_udf()
+    s = d.select("doc_id", html.alias("_html"))
+    return s.select(
+        "doc_id",
+        ex(F.col("_html")).alias("main_text"),
+        F.length(ex(F.col("_html"))).cast("long").alias("n_main_chars"),
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

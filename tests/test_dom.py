@@ -243,3 +243,31 @@ def test_escaped_text_roundtrips(parts):
     got = [text_content(n) for n in xpath(t, "//p") + xpath(t, "//div")]
     want = [txt for k, txt in parts if k == "p"] + [txt for k, txt in parts if k != "p"]
     assert got == want
+
+
+def test_main_content_extraction():
+    """Readability-lite: chrome tags and link farms never win; deepest of
+    equal scorers wins; chrome-only pages yield ''."""
+    from spider_spark import dom
+
+    h = ('<html><body><nav><a href="/">Home Home Home Home</a></nav>'
+         '<div class="m"><a href="/1">pure link farm with many words here</a></div>'
+         '<div id="w"><div id="main"><p>real article body text one</p>'
+         '<p>second paragraph here</p></div></div>'
+         '<aside>huge sidebar text that must not leak into the result at all'
+         ' even though it is long</aside>'
+         '<footer>&copy; chrome</footer></body></html>')
+    assert dom.main_text(dom.parse_html(h)) == (
+        "real article body text one second paragraph here"
+    )
+    # deepest equal scorer: #main (child) beats #w (parent, same text)
+    assert dom.main_content(dom.parse_html(h)).get("id") == "main"
+    # link-heavy td loses to a text td inside the same table
+    h2 = ('<table><tr><td><a href="/a">nav nav nav nav nav</a></td>'
+          "<td>dense cell prose that should win the page</td></tr></table>")
+    assert dom.main_text(dom.parse_html(h2)) == (
+        "dense cell prose that should win the page"
+    )
+    assert dom.main_text(dom.parse_html(
+        "<body><nav><a href='/'>x</a></nav><script>var a=1</script></body>"
+    )) == ""
