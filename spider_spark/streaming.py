@@ -207,3 +207,34 @@ def host_fetch_rates(
             "n_fetched",
         )
     )
+
+
+def stream_first_wins_urls(
+    spark: SparkSession,
+    ingest_dir: str | Path,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming first-wins URL dedup — the A1 frontier invariant under
+    continuous arrival: the FIRST page per canonical url_hash inside the
+    watermark horizon passes, replays/duplicates are dropped by
+    ``dropDuplicatesWithinWatermark`` (state for a key is freed once the
+    watermark passes it, so state size tracks the horizon, not history —
+    the unbounded-state trap of plain dropDuplicates on streams).
+
+    Beyond the horizon, cross-restart exactness comes from the batch
+    Bloom/Cuckoo seen-set the rounds already maintain — the two layers
+    compose: in-horizon exact streaming dedup, beyond-horizon engine
+    dedup. Returns an unstarted streaming DataFrame.
+    """
+    from spider_spark.canon import canonical_col
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(ingest_dir))
+    return (
+        stream.withColumn("url_hash", F.xxhash64(canonical_col(F.col("url"))))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+    )

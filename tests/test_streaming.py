@@ -178,3 +178,34 @@ def test_stateful_host_progress_idle_timeout_gc(spark, tmp_path):
         assert all(r["n_pages"] > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_stream_first_wins_dedup(spark, tmp_path):
+    """Duplicate urls (including canonical-equivalent spellings) inside the
+    watermark horizon collapse to the first arrival; distinct urls pass."""
+    import pandas as pd
+
+    ingest = tmp_path / "in"
+    ingest.mkdir()
+    t0 = pd.Timestamp("2026-02-01 10:00:00")
+    rows = [
+        ("https://h.example.com/a", t0, b"x"),
+        ("https://h.example.com/a", t0 + pd.Timedelta("1 min"), b"y"),   # dup
+        ("HTTPS://H.example.com/a", t0 + pd.Timedelta("2 min"), b"z"),   # canonical dup
+        ("https://h.example.com/b", t0 + pd.Timedelta("1 min"), b"w"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+    ).coalesce(1).write.mode("overwrite").parquet(str(ingest))
+
+    out = streaming.stream_first_wins_urls(spark, ingest, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fw")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.url.lower() for r in spark.sql("select url from fw").collect()}
+    assert got == {"https://h.example.com/a", "https://h.example.com/b"}
