@@ -38,6 +38,64 @@ from spider_spark import dedup, sampling, textops
 DEFAULT_SPLITS = {"train": 0.90, "val": 0.05, "test": 0.05}
 
 
+def unigram_lm_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    max_vocab: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/KenLM-filter analog,
+    public method: score web docs by a language model fit on a trusted
+    reference corpus; drop the high-perplexity tail). KenLM itself isn't
+    installable here, so the model is an add-one-smoothed UNIGRAM LM —
+    the same pipeline shape, exactly reproducible in SQL.
+
+    Returns (doc_id, n_tokens, bits_per_token): mean -log2 P(w), OOV
+    smoothed to 1/(T+V).
+
+    Scale shape: fitting is one explode + count agg over the (small)
+    reference; scoring streams the corpus through a BROADCAST join
+    against the vocabulary (``max_vocab`` caps it at the top-K words for
+    broadcastability on open-vocab corpora — dropped words score as OOV,
+    which is exactly what a capped KenLM vocab does) and aggregates once
+    per doc. One corpus shuffle total."""
+    ref_toks = ref.select(
+        F.explode(textops.tokens_col(F.col(text_col))).alias("w")
+    )
+    cnt = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if max_vocab is not None:
+        from pyspark.sql.window import Window as _W
+
+        top = _W.orderBy(F.desc("c"), "w")
+        cnt = (
+            cnt.withColumn("_r", F.row_number().over(top))
+            .where(F.col("_r") <= max_vocab)
+            .drop("_r")
+        )
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    toks = docs.select(
+        id_col, F.explode(textops.tokens_col(F.col(text_col))).alias("w")
+    )
+    scored = (
+        toks.join(F.broadcast(cnt), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            (-F.log2(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + F.col("v")).cast("double")
+            )).alias("b"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("b"), 6).alias("bits_per_token"),
+    )
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2219,6 +2219,33 @@ def main_content_extract(spark, sf_dir):
     )
 
 
+@q(
+    "lm_perplexity_scores",
+    f"""
+    WITH ref AS (SELECT unnest({_SQL_TOKENS}) AS w FROM documents WHERE doc_id % 7 = 0),
+    cnt AS (SELECT w, count(*)::BIGINT AS c FROM ref GROUP BY w),
+    tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM cnt),
+    tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents WHERE doc_id % 7 != 0),
+    sc AS (SELECT doc_id, -log2((coalesce(c, 0) + 1)::DOUBLE / (t + v)::DOUBLE) AS b
+           FROM tok LEFT JOIN cnt USING (w) CROSS JOIN tot)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(b), 6) AS bits_per_token
+    FROM sc GROUP BY doc_id
+    """,
+)
+def lm_perplexity_scores(spark, sf_dir):
+    """CCNet-style perplexity filtering signal: add-one unigram LM fit on
+    the reference slice (doc_id%7==0 plays the trusted corpus), every
+    other doc scored as mean -log2 P(w). Vocabulary broadcast; one
+    per-doc shuffle. round(6) absorbs double-summation order across
+    engines and partitionings."""
+    from spider_spark import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.unigram_lm_scores(
+        d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0)
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================
