@@ -299,6 +299,44 @@ def css_fields_udf(fields: list[tuple[str, str]], strip: str | None = None):
     return extract
 
 
+def anchor_pairs_udf():
+    """Every ``<a href>`` in document order as (href, anchor-text) pairs via
+    the DOM engine — the extraction half of the anchor-text corpus op (the
+    per-target link-context profile web-corpus pipelines aggregate for
+    ranking/training signals). href-less anchors (``<a name=...>``) and
+    empty hrefs are dropped; anchor text is the entity-decoded
+    ``text_content`` of the element (nested markup flattened).
+
+    Arrow-batched map pass; returns array<struct<href,anchor>> so the
+    caller explodes and aggregates — extraction itself never shuffles."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    from spider_spark import dom
+
+    xp = dom.XPath("//a")
+    out = ArrayType(
+        StructType(
+            [StructField("href", StringType()), StructField("anchor", StringType())]
+        )
+    )
+
+    @pandas_udf(out)
+    def extract(html: pd.Series) -> pd.Series:
+        def pairs(raw):
+            if raw is None:
+                return None
+            res = []
+            for n in xp(dom.parse_html_bytes(raw)):
+                href = n.get("href")
+                if href:
+                    res.append((href, dom.text_content(n)))
+            return res
+
+        return html.map(pairs)
+
+    return extract
+
+
 def dom_links_udf():
     """C4 structural variant: every <a href> in document order via the DOM
     (handles entity-encoded and single-quoted hrefs the C4 regex scan

@@ -1068,6 +1068,76 @@ def css_select_fields(spark, sf_dir):
     )
 
 
+_ANCHOR_ORACLE = """
+    WITH links AS (
+      SELECT doc_id,
+             'https://h' || ((doc_id * 3 + j) % 20)::VARCHAR ||
+             '.example.com/p/' || ((doc_id * 7 + j) % 97)::VARCHAR AS target,
+             substr(text, 1 + 5 * j, 6) AS anchor
+      FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+    )
+    SELECT target,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT doc_id)::BIGINT AS n_src_docs,
+           (list_sort(list(DISTINCT anchor)))[1:50] AS anchor_texts
+    FROM links GROUP BY target
+"""
+
+
+@q("anchor_text_agg", _ANCHOR_ORACLE)
+def anchor_text_agg(spark, sf_dir):
+    """Anchor-text corpus op: extract every (href, anchor-text) pair from
+    the DOM and aggregate the per-target link-context profile — inlink
+    count, distinct linking docs, and the (capped, sorted) distinct anchor
+    texts. The standard web-corpus signal built from crawl link structure
+    (anchor text describes the TARGET page; used for ranking features and
+    query-doc training pairs).
+
+    Each doc plants three anchors whose text is an escaped slice of the
+    doc's own text (entities round-trip through the DOM), plus a decoy
+    href-less ``<a name=...>`` and an empty-href anchor that extraction
+    must drop; output is built ONLY from extraction, the oracle replants
+    from raw columns.
+
+    Scale shape: extraction is an Arrow-batched map (no shuffle); the
+    profile is ONE shuffle on target with map-side partial aggregation.
+    collect_set state per popular target is the skew hazard at web scale —
+    the profile caps stored anchors at 50 (slice after sort), the same
+    bounded-state discipline a 100 TB anchor job needs."""
+    did = F.col("doc_id")
+
+    def target(j):
+        return F.concat(
+            F.lit("https://h"), ((did * 3 + j) % 20).cast("string"),
+            F.lit(".example.com/p/"), ((did * 7 + j) % 97).cast("string"),
+        )
+
+    def anchor(j):
+        return _html_escape(F.substring("text", 1 + 5 * j, 6))
+
+    html = F.concat(
+        F.lit('<html><body><nav><a name="top">skip me</a><a href="">empty</a></nav>'),
+        F.lit('<p><a href="'), target(0), F.lit('">'), anchor(0), F.lit("</a> "),
+        F.lit('<a href="'), target(1), F.lit('">'), anchor(1), F.lit("</a></p>"),
+        F.lit('<div><a href="'), target(2), F.lit('"><b>'), anchor(2),
+        F.lit("</b></a></div></body></html>"),
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    pair = F.explode(parse.anchor_pairs_udf()(F.col("html"))).alias("pair")
+    return (
+        d.select("doc_id", pair)
+        .select("doc_id", F.col("pair.href").alias("target"), F.col("pair.anchor").alias("anchor"))
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+            F.slice(F.array_sort(F.collect_set("anchor")), 1, 50).alias("anchor_texts"),
+        )
+    )
+
+
 @q(
     "string_cleanup",
     """

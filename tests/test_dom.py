@@ -271,3 +271,33 @@ def test_main_content_extraction():
     assert dom.main_text(dom.parse_html(
         "<body><nav><a href='/'>x</a></nav><script>var a=1</script></body>"
     )) == ""
+
+
+def test_anchor_pairs_udf_edge_cases(spark):
+    """(href, anchor) extraction: href-less and empty-href anchors dropped,
+    entities decoded, nested markup flattened, document order kept,
+    single-quoted/unquoted hrefs accepted, NULL html -> NULL."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import parse
+
+    h = (
+        '<html><body><a name="top">skip</a><a href="">empty</a>'
+        '<a href="https://a.example.com/1">R&amp;D &lt;lab&gt;</a>'
+        "<a href='https://a.example.com/2'><b>bold</b> tail</a>"
+        '<a href=https://a.example.com/3>unquoted</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, h.encode()), (2, None)], "id long, html binary"
+    )
+    rows = (
+        df.select("id", parse.anchor_pairs_udf()(F.col("html")).alias("p"))
+        .orderBy("id")
+        .collect()
+    )
+    assert rows[0].p == [
+        ("https://a.example.com/1", "R&D <lab>"),
+        ("https://a.example.com/2", "bold tail"),
+        ("https://a.example.com/3", "unquoted"),
+    ]
+    assert rows[1].p is None
