@@ -1539,6 +1539,159 @@ def bm25_topk(spark, sf_dir):
     )
 
 
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    s AS (SELECT doc_id, term, tf,
+                 round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
+    SELECT doc_id, rnk::INT AS rnk, term, tf, tfidf FROM r WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-doc TF-IDF keyword extraction (top-3 terms): the classic
+    corpus-characterization / doc-tagging signal. Smoothed idf
+    ln((N+1)/(df+1)); ranking is over the ROUNDED score (ties broken by
+    term) so rank order is engine-independent.
+
+    Scale shape: one tokenize pass feeds both tf (groupBy doc,term — one
+    shuffle) and df (groupBy term — the vocabulary agg); scoring joins tf
+    against the vocabulary on term (AQE broadcasts when the vocab is
+    small; plain shuffle join otherwise — never a driver collect). The
+    per-doc top-3 is a window PARTITIONED BY doc_id — no global sort, no
+    skew (partition = one doc)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "tfidf")
+    )
+
+
+_HLL_M = 1024          # 2^10 registers
+_HLL_ALPHA = 0.7205407583220416   # 0.7213 / (1 + 1.079/1024), inlined both sides
+_HLL_POW51 = 2251799813685248     # 2^51
+
+
+@q(
+    "hll_distinct_tokens",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    keys AS (SELECT 'vocab' AS scope, tok AS k FROM tok
+             UNION ALL
+             SELECT 'doc_terms' AS scope, doc_id::VARCHAR || ':' || tok AS k FROM tok),
+    h AS (SELECT scope, {textops.hash60_sql('k')} AS h FROM keys),
+    reg AS (SELECT scope, h % {_HLL_M} AS b,
+                   max(CASE WHEN h // {_HLL_M} = 0 THEN 51
+                            ELSE 51 - length(bin(h // {_HLL_M})) END) AS m
+            FROM h GROUP BY scope, b),
+    s AS (SELECT scope, count(*)::BIGINT AS present,
+                 sum(1::BIGINT << (51 - m))::BIGINT AS s_present
+          FROM reg GROUP BY scope),
+    e AS (SELECT scope, present,
+                 {_HLL_M} - present AS v,
+                 {_HLL_ALPHA}::DOUBLE * {_HLL_M} * {_HLL_M} * {_HLL_POW51}
+                   / (s_present + ({_HLL_M} - present) * {_HLL_POW51}) AS e_raw
+          FROM s),
+    x AS (SELECT scope, count(DISTINCT k)::BIGINT AS exact_distinct
+          FROM keys GROUP BY scope)
+    SELECT scope, {_HLL_M} AS m, v::BIGINT AS n_empty,
+           round(CASE WHEN v > 0 AND e_raw <= 2560.0
+                      THEN {_HLL_M} * ln({_HLL_M} / v::DOUBLE) ELSE e_raw END,
+                 3) AS est_distinct,
+           exact_distinct
+    FROM e JOIN x USING (scope)
+    """,
+)
+def hll_distinct_tokens(spark, sf_dir):
+    """HyperLogLog distinct-count sketch over the corpus vocabulary,
+    value-level reproducible: registers are exact integers (shared
+    md5-prefix hash60, bucket = h mod 1024, rho = leading zeros of the
+    remaining 50 bits + 1), the harmonic sum is computed in the INTEGER
+    domain (sum of 2^(51-M_j) as BIGINT — no float-summation-order drift),
+    and only the final division/ln is floating point (round(,3) absorbs
+    ulp). Flajolet et al.'s small-range correction applied below 2.5m.
+
+    This is the sketch a 100 TB pipeline uses for distinct-URL / distinct
+    -token telemetry: one map pass + a (scope × 1024)-row agg — versus the
+    full shuffle of count(DISTINCT). Two scopes so BOTH estimator branches
+    are exercised on the fixture: 'vocab' (tiny — linear counting) and
+    'doc_terms' (thousands — the raw harmonic-mean branch). The exact
+    count rides along purely to make the query self-auditing (relative
+    error visible in the output)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens_col(F.col("text"))).alias("tok"))
+    keys = tok.select(F.lit("vocab").alias("scope"), F.col("tok").alias("k")).unionAll(
+        tok.select(
+            F.lit("doc_terms").alias("scope"),
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), "tok").alias("k"),
+        )
+    )
+    h = keys.select("scope", textops.hash60(F.col("k")).alias("h"))
+    # integer `div`, NOT `/`: h is up to 60 bits, and double division would
+    # round away the low bits that decide the bucket remainder
+    rem = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rem == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.conv(rem.cast("string"), 10, 2))
+    )
+    reg = (
+        h.select("scope", (F.col("h") % _HLL_M).alias("b"), rho.alias("rho"))
+        .groupBy("scope", "b")
+        .agg(F.max("rho").alias("m"))
+    )
+    s = reg.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - m AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    e = s.select(
+        "scope",
+        (F.lit(_HLL_M) - F.col("present")).alias("v"),
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * _HLL_POW51)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("present")) * F.lit(_HLL_POW51))
+        ).alias("e_raw"),
+    )
+    x = keys.groupBy("scope").agg(
+        F.countDistinct("k").cast("long").alias("exact_distinct")
+    )
+    return e.join(x, "scope").select(
+        "scope",
+        F.lit(_HLL_M).alias("m"),
+        F.col("v").cast("long").alias("n_empty"),
+        F.round(
+            F.when(
+                (F.col("v") > 0) & (F.col("e_raw") <= 2560.0),
+                F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+            ).otherwise(F.col("e_raw")),
+            3,
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     pats = textops.LANG_MARKERS[lang]
     terms = [
