@@ -1692,6 +1692,74 @@ def hll_distinct_tokens(spark, sf_dir):
     )
 
 
+_PASSAGE_L = 8
+
+
+def _dup_passage_sql() -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(_PASSAGE_L))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, i AS pos, {textops.hash60_sql(f"({gram})")} AS h
+          FROM toks, unnest(generate_series(1, greatest(len(w) - {_PASSAGE_L - 1}, 0))) AS t(i)),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    p AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM p)
+    SELECT doc_id, min(pos)::INT AS span_start,
+           (max(pos) + {_PASSAGE_L - 1})::INT AS span_end,
+           (max(pos) + {_PASSAGE_L} - min(pos))::INT AS span_len
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@q("dup_passage_spans", _dup_passage_sql())
+def dup_passage_spans(spark, sf_dir):
+    """Passage-level exact-duplicate span detection — the substring-dedup
+    step of modern pretraining pipelines (public method: Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": remove any
+    ≥L-token sequence that repeats across the corpus; doc-level dedup
+    misses these). Suffix arrays don't distribute; the Spark-shaped
+    equivalent is positional L-gram hashing: every L-gram position, keep
+    grams seen in ≥2 DISTINCT docs, then merge adjacent duplicated
+    positions into maximal spans (gap-and-islands: pos − row_number).
+
+    Returns (doc_id, span_start, span_end, span_len) in 1-based token
+    coordinates — the mask a removal pass applies.
+
+    Scale shape: grams travel as their 60-bit hash, never as strings —
+    the dup-gram shuffle is 8 bytes/gram (collision behavior identical in
+    the oracle, which joins on the same hash); the ≥2-docs filter is one
+    map-side-combinable agg; span merge is a window PARTITIONED BY doc
+    (no skew: partition = one doc's duplicated positions)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("w"))
+    g = toks.select(
+        "doc_id",
+        F.posexplode(textops.grams_all_col(F.col("w"), _PASSAGE_L)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), textops.hash60(F.col("gram")).alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    p = g.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = p.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (_PASSAGE_L - 1)).cast("int").alias("span_end"),
+            (F.max("pos") + _PASSAGE_L - F.min("pos")).cast("int").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     pats = textops.LANG_MARKERS[lang]
     terms = [

@@ -462,3 +462,37 @@ def test_connected_survivors_chain_needs_propagation(spark):
     )
     got = {r.doc_id: r.survivor_id for r in dedup.connected_survivors(pairs).collect()}
     assert got == {**{i: 10 for i in range(10, 16)}, 20: 20, 21: 20}
+
+
+# ------------------------------------------------------- passage-level dedup
+def test_dup_passage_spans_planted_truth(spark, tmp_path):
+    """Two docs share a 10-token run (→ one maximal span of 3 merged
+    8-gram positions each) plus a disjoint shared 8-gram; unique text
+    yields nothing; within-doc-only repetition does NOT qualify."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from spider_spark import queries
+
+    shared = " ".join(f"s{i}" for i in range(10))           # 10-token passage
+    gram8 = " ".join(f"g{i}" for i in range(8))             # disjoint 8-gram
+    selfrep = " ".join(["r0 r1 r2 r3 r4 r5 r6 r7"] * 2)     # repeats only within one doc
+    rows = [
+        (0, f"a0 a1 {shared} a2 {gram8}"),
+        (1, f"b0 {shared} b1 b2 b3 {gram8}"),
+        (2, f"c0 c1 c2 c3 c4 c5 c6 c7 c8 {selfrep}"),
+        (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # queries read <dir>/documents.parquet (a single file, like the testdata)
+    (tmp_path / "x").mkdir(exist_ok=True)
+    d.toPandas().to_parquet(str(tmp_path / "x" / "documents.parquet"))
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in queries.dup_passage_spans(spark, str(tmp_path / "x")).collect()
+    }
+    # doc 0: shared at tokens 3-12 (grams 3,4,5 merge), gram8 at 14-21
+    # doc 1: shared at tokens 2-11, gram8 at 15-22
+    assert out == {
+        (0, 3, 12, 10), (0, 14, 21, 8),
+        (1, 2, 11, 10), (1, 15, 22, 8),
+    }
