@@ -59,6 +59,12 @@ HEADLINE = [
     "sample_stratified_lang",  # round 2: deterministic stratified sampling
     "line_dedup_boilerplate",  # round 2: cross-doc boilerplate strip
     "curate_corpus",         # round 2: composed end-to-end curation pipeline
+    "main_content_extract",  # round 2: readability-lite boilerplate removal
+    "lm_perplexity_scores",  # round 2: CCNet-style unigram-LM quality signal
+    "dup_passage_spans",     # round 2: passage-level duplicate spans
+    "tfidf_top_terms",       # round 2: per-doc TF-IDF keywords
+    "anchor_text_agg",       # round 2: DOM anchor-text target profiles
+    "hll_distinct_tokens",   # round 2: HLL distinct sketch telemetry
 ]
 
 

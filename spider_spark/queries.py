@@ -1692,6 +1692,59 @@ def hll_distinct_tokens(spark, sf_dir):
     )
 
 
+_MIX_QUOTA = 1500  # tokens per lang stratum
+_MIX_HASH = textops.hash60_sql("'mix:' || doc_id::VARCHAR")
+
+
+@q(
+    "token_budget_mix",
+    f"""
+    WITH t AS (SELECT lang, doc_id, len({_SQL_TOKENS})::BIGINT AS n_tokens,
+                      {_MIX_HASH} AS hk
+               FROM documents),
+    c AS (SELECT *, sum(n_tokens) OVER
+            (PARTITION BY lang ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT lang, doc_id, n_tokens, cum::BIGINT AS cum_tokens
+    FROM c WHERE cum - n_tokens < {_MIX_QUOTA}
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Data-mixture construction under a per-stratum TOKEN budget (public
+    method: pretraining mixtures are specified in tokens per source/lang,
+    not document counts — a count quota over-samples short docs). Docs are
+    admitted in deterministic hash order (unbiased, reproducible at any
+    cluster size) until the stratum's running token total passes the
+    budget; the straddling doc is kept, so every stratum reaches ≥ quota
+    when it has the supply.
+
+    Scale shape: one cumulative-sum window PARTITIONED BY the stratum —
+    never a global sort; a stratum's rows co-locate on one partition,
+    which is exactly the right skew story when strata are
+    (source, lang) slices of bounded size. Composes upstream of
+    sampling.split_col."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "doc_id",
+        F.size(textops.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        textops.hash60(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") - F.col("n_tokens") < _MIX_QUOTA)
+        .select("lang", "doc_id", "n_tokens", F.col("cum").cast("long").alias("cum_tokens"))
+    )
+
+
 _PASSAGE_L = 8
 
 
@@ -1711,6 +1764,67 @@ def _dup_passage_sql() -> str:
            (max(pos) + {_PASSAGE_L} - min(pos))::INT AS span_len
     FROM isl GROUP BY doc_id, grp
     """
+
+
+def _dup_passage_removed_sql() -> str:
+    spans = _dup_passage_sql().strip()
+    return f"""
+    WITH spans AS ({spans}),
+    cover AS (SELECT DISTINCT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+              FROM spans),
+    tok AS (SELECT doc_id, i AS pos, ws[i] AS w
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+                 unnest(generate_series(1, len(ws))) AS t(i)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.w
+             FROM tok LEFT JOIN cover
+               ON tok.doc_id = cover.doc_id AND tok.pos = cover.pos
+             WHERE cover.pos IS NULL)
+    SELECT doc_id,
+           coalesce(string_agg(w, ' ' ORDER BY pos), '') AS clean_text,
+           count(w)::BIGINT AS n_kept
+    FROM documents LEFT JOIN kept USING (doc_id)
+    GROUP BY doc_id
+    """
+
+
+@q("dup_passage_removed", _dup_passage_removed_sql())
+def dup_passage_removed(spark, sf_dir):
+    """The removal half of passage-level dedup: apply the duplicated-span
+    mask from ``dup_passage_spans`` and reassemble each doc's surviving
+    tokens in order (Lee et al. cut the repeated sequence from EVERY
+    occurrence; dropped-token counts make the cut auditable).
+
+    Scale shape: spans explode into covered positions (bounded by span
+    length — never by doc length), the mask is an anti-join on
+    (doc_id, pos), and reassembly is a partition-local sorted
+    string-agg per doc — the same in-expression reassembly discipline as
+    line_dedup_boilerplate. No windows beyond the span detection it
+    composes."""
+    d = T(spark, sf_dir, "documents")
+    spans = dup_passage_spans(spark, sf_dir)
+    cover = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    ).distinct()
+    tok = d.select(
+        "doc_id",
+        F.posexplode(textops.tokens_col(F.col("text"))).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = tok.join(cover, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
 
 
 @q("dup_passage_spans", _dup_passage_sql())

@@ -86,6 +86,13 @@ class CrawlConfig:
                                 # deletes + periodic rewrite_data_files).
     compact_ratio: float = 0.3  # mor: compact when cumulative delta rows
                                 # exceed this fraction of the base rows
+    max_urls_per_host: int = 0  # >0: crawler-trap guard — cumulative cap on
+                                # frontier rows per host (calendar pages,
+                                # session-id explosions, infinite facet
+                                # spaces). Children of a host at cap are
+                                # dropped (re-discoverable, re-dropped —
+                                # bounded rework, no correctness effect on
+                                # the seen set). 0 = off.
     seq_mode: str = "global"    # "global": dense global discovery rank —
                                 # exact parity with the reference's single
                                 # FIFO frontier (3 extra jobs/round).
@@ -401,6 +408,36 @@ def run_round(
         F.col("depth").cast("double").alias("priority"),
         F.lit(0).alias("attempt"),
     )
+
+    # --- crawler-trap guard: cumulative per-host admission cap -------------
+    if cfg.max_urls_per_host > 0:
+        cap = cfg.max_urls_per_host
+        # existing per-host totals from the cheap urls-only scan (works in
+        # both cow and mor — frontier_urls is the complete url set)
+        host_counts = (
+            frontier_urls.select(host_col(F.col("url")).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("_n_host"))
+        )
+        # same two-stage salt discipline as pop_batch: a trap host's children
+        # all share one window partition, which is exactly where the
+        # explosion happens — stage 1 truncates to ≤cap per (host, salt)
+        # before the exact per-host rank ever sees more than n_salt·cap rows
+        _cols = new_children.columns
+        salt = F.pmod(F.col("url_hash"), F.lit(cfg.n_salt))
+        cw1 = Window.partitionBy("host", salt).orderBy("discovered_seq", "url")
+        s1 = new_children.withColumn("_c1", F.row_number().over(cw1)).where(
+            F.col("_c1") <= cap
+        )
+        cw2 = Window.partitionBy("host").orderBy("discovered_seq", "url")
+        s2 = s1.withColumn("_c2", F.row_number().over(cw2))
+        new_children = (
+            s2.join(host_counts, "host", "left")
+            .where(
+                F.col("_c2") + F.coalesce(F.col("_n_host"), F.lit(0)) <= cap
+            )
+            .select(*_cols)
+        )
 
     # --- frontier MERGE (Iceberg COW analog) or delta emit (MOR) ------------
     status_case = (
