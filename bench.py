@@ -65,6 +65,12 @@ HEADLINE = [
     "tfidf_top_terms",       # round 2: per-doc TF-IDF keywords
     "anchor_text_agg",       # round 2: DOM anchor-text target profiles
     "hll_distinct_tokens",   # round 2: HLL distinct sketch telemetry
+    "surt_keys",             # round 2: SURT url keys (archive-index keying)
+    "cdx_index",             # round 2: CDX capture index build
+    "url_trap_scores",       # round 2: URL-shape crawler-trap scoring
+    "host_graph_rank",       # round 2: host-aggregated PageRank
+    "shingle_containment",   # round 2: asymmetric containment dedup
+    "recrawl_priority",      # round 2: change-rate recrawl tiers
 ]
 
 

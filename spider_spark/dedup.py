@@ -114,6 +114,46 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Asymmetric n-gram containment: pairs (a_id, b_id) where
+    |S(a) ∩ S(b)| / |S(a)| ≥ threshold — "a is (nearly) contained in b".
+
+    Containment is what Jaccard misses: a short page embedded verbatim in a
+    long one (boilerplate templates, quoted articles, paginated supersets)
+    has low Jaccard (the union is dominated by the long side) but
+    containment ≈ 1. This is the Broder resemblance/containment pair from
+    the original shingling paper, and the webtext-dedup use case is
+    dropping pages subsumed by a larger capture.
+
+    Same shuffle shape as jaccard_pairs (shingle self-join — only docs
+    sharing a shingle pair up; one groupBy on (a,b)); emitted both
+    directions since containment is directional. Scale path: restrict the
+    self-join to MinHash-LSH candidates exactly as minhash_lsh_pairs does —
+    containment ≥ t implies Jaccard ≥ t·|A|/(|A|+|B|), so LSH at a lower
+    band threshold still bounds the candidate set."""
+    sh = shingle_table(docs, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("na"))
+    return (
+        inter.join(sa, "a_id")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("na").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "containment")
+    )
+
+
 # --------------------------------------------------------- decontamination
 def contamination_overlap(
     corpus: DataFrame,

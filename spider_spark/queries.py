@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spider_spark import dedup, kline, media, parse, pool, textops, vectorops
+from spider_spark import dedup, kline, media, parse, pool, textops, vectorops, webindex
 from spider_spark.canon import canonical_col, host_col
 from spider_spark.crawl import crawl
 from spider_spark.pagerank import pagerank
@@ -2763,9 +2763,15 @@ def media_meta(spark, sf_dir):
 # PageRank (§2.A A6) + the crawl itself
 # =====================================================================
 
-def _pagerank_oracle(iters: int = 5, alpha: float = 0.9) -> str:
-    pre = """
-    WITH edges AS (SELECT DISTINCT l_suppkey::VARCHAR AS src, (l_partkey % 100)::VARCHAR AS dst FROM lineitem),
+_LINEITEM_EDGES_SQL = (
+    "SELECT DISTINCT l_suppkey::VARCHAR AS src, (l_partkey % 100)::VARCHAR AS dst FROM lineitem"
+)
+
+
+def _pagerank_oracle(iters: int = 5, alpha: float = 0.9,
+                     edges_sql: str = _LINEITEM_EDGES_SQL) -> str:
+    pre = f"""
+    WITH edges AS ({edges_sql}),
     nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
     outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
     nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
@@ -2889,3 +2895,319 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
     )
     frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
     return frontier.select("url", "depth", "status", "discovered_round", "fetched_round")
+
+
+# =====================================================================
+# Web-archive indexing + crawl scheduling (webindex.py): SURT, CDX,
+# trap-shape detection, change-rate recrawl tiers, containment dedup
+# =====================================================================
+
+def _messy_url_col():
+    """Deterministic messy-URL synthesis from doc_id: mixed case, www
+    prefixes, explicit ports, out-of-order query params, calendar paths —
+    the four families a canonicalizer/SURT keyer must normalize."""
+    d = F.col("doc_id")
+    m = d % 4
+    sub = (d % 7).cast("string")
+    ds = d.cast("string")
+    return (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.Site"), sub, F.lit(".Example.COM/Articles/"),
+            ds, F.lit("?utm_source=x&id="), (d % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("http://site"), sub, F.lit(".example.com:8080/a/b/"), ds))
+        .when(m == 2, F.concat(
+            F.lit("https://site"), sub, F.lit(".example.com/?b=2&a=1")))
+        .otherwise(F.concat(
+            F.lit("https://news.site"), sub, F.lit(".example.com/2024/01/"),
+            ds, F.lit("/index.html")))
+    )
+
+
+_MESSY_URL_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 7)::VARCHAR || '.Example.COM/Articles/'
+                    || doc_id::VARCHAR || '?utm_source=x&id=' || (doc_id % 5)::VARCHAR
+        WHEN 1 THEN 'http://site' || (doc_id % 7)::VARCHAR || '.example.com:8080/a/b/' || doc_id::VARCHAR
+        WHEN 2 THEN 'https://site' || (doc_id % 7)::VARCHAR || '.example.com/?b=2&a=1'
+        ELSE 'https://news.site' || (doc_id % 7)::VARCHAR || '.example.com/2024/01/'
+             || doc_id::VARCHAR || '/index.html'
+      END
+"""
+
+
+@q(
+    "surt_keys",
+    f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    p AS (
+      SELECT doc_id, url,
+        regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+        lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)) AS rawpath,
+        lower(regexp_extract(url, '\\?([^#]*)', 1)) AS rawq
+      FROM u)
+    SELECT doc_id, url,
+      array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+      || (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END)
+      || (CASE WHEN rawq = '' THEN ''
+               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&') END) AS urlkey
+    FROM p
+    """,
+)
+def surt_keys(spark, sf_dir):
+    """SURT url keys (webindex.surt_col) over the messy-URL families: the
+    sort-friendly key a CDX archive index range-partitions on. The oracle
+    parses the same URLs with an independent regex decomposition, so the
+    try_parse_url-based Spark path is value-checked component by
+    component (case folding, www/port stripping, host reversal, empty-path
+    normalization, query-param sorting)."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    u = d.select("doc_id", _messy_url_col().alias("url"))
+    return u.select("doc_id", "url", webindex.surt_col(F.col("url")).alias("urlkey"))
+
+
+@q(
+    "cdx_index",
+    """
+    WITH caps AS (
+      SELECT doc_id, k,
+        'com,example,docs,h' || (doc_id % 13)::VARCHAR || ')/d/' || doc_id::VARCHAR AS urlkey,
+        strftime(make_timestamp(2024, 3 + k, 1 + doc_id % 28, doc_id % 24, doc_id % 60, 0.0),
+                 '%Y%m%d%H%M%S') AS cdx_ts,
+        '<html><body>' || text ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'v' || k::VARCHAR ELSE '' END) || '</body></html>' AS page
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) g)
+    SELECT urlkey, cdx_ts,
+           substr(sha256(page), 1, 16) AS digest,
+           octet_length(encode(page))::BIGINT AS n_bytes,
+           row_number() OVER (PARTITION BY urlkey ORDER BY cdx_ts,
+                              substr(sha256(page), 1, 16))::INT AS seq
+    FROM caps
+    """,
+)
+def cdx_index(spark, sf_dir):
+    """CDX-style capture index (webindex.cdx_index) over a two-capture
+    history per document: SURT urlkey, 14-digit timestamp, content digest,
+    byte length, per-urlkey capture sequence. seq is windowed WITHIN
+    urlkey (never a global row_number — that is a single-partition
+    bottleneck at 10^10 captures; the per-key shuffle is the same one the
+    range-partitioned CDX sink needs anyway)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    caps = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"),
+    )
+    dd = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (dd % 13).cast("string"),
+        F.lit(".docs.example.com/d/"), dd.cast("string"),
+    )
+    ts = F.make_timestamp(
+        F.lit(2024), F.lit(3) + F.col("k"), (dd % 28 + 1).cast("int"),
+        (dd % 24).cast("int"), (dd % 60).cast("int"), F.lit(0),
+    )
+    page = F.concat(
+        F.lit("<html><body>"), F.col("text"),
+        F.when(dd % 3 == 0, F.concat(F.lit("v"), F.col("k").cast("string"))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    captures = caps.select(
+        url.alias("url"), ts.alias("warc_ts"), F.encode(page, "UTF-8").alias("html")
+    )
+    return webindex.cdx_index(captures)
+
+
+@q(
+    "url_trap_scores",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 7)::VARCHAR || '.example.com/' ||
+        (CASE doc_id % 5
+           WHEN 0 THEN repeat('loop/', (2 + doc_id % 6)::INT) || 'p'
+           WHEN 1 THEN 'a/b/c/d/e/f/g/h/i/' || doc_id::VARCHAR
+           WHEN 2 THEN 'cal/2024/01/' || (1 + doc_id % 28)::VARCHAR
+           ELSE 'page/' || doc_id::VARCHAR END) ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN '?s=' || repeat('p&', (doc_id % 12)::INT) || 'e=1' ELSE '' END) AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+        list_filter(string_split(lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)), '/'),
+                    x -> x != '') AS segs,
+        lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+      FROM u),
+    f AS (
+      SELECT doc_id, url,
+        len(segs)::INT AS path_depth,
+        coalesce(list_max(list_transform(list_distinct(segs),
+                 s -> len(list_filter(segs, x -> x = s)))), 0)::INT AS max_seg_repeat,
+        (CASE WHEN rawq = '' THEN 0 ELSE len(string_split(rawq, '&')) END)::INT AS n_params,
+        length(url)::INT AS url_len,
+        (CASE WHEN regexp_matches(path, '/[0-9]{4}/[0-9]{2}/') THEN 1 ELSE 0 END)::INT AS has_calendar
+      FROM p)
+    SELECT doc_id, url, path_depth, max_seg_repeat, n_params, url_len, has_calendar,
+           (CASE WHEN max_seg_repeat >= 3 OR path_depth > 8 OR n_params > 8
+                      OR url_len > 200 THEN 1 ELSE 0 END)::INT AS is_trap
+    FROM f
+    """,
+)
+def url_trap_scores(spark, sf_dir):
+    """URL-shape crawler-trap scoring (webindex.trap_feature_cols) over a
+    synthetic frontier containing calendar loops, repeated-segment mirror
+    traps, deep paths, and query-param explosions. Complements the engine's
+    volumetric max_urls_per_host guard (round.py): shape scoring rejects a
+    trap BEFORE spending fetches on it; map-only, runs inside the frontier
+    admission stage."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    dd = F.col("doc_id")
+    path_mid = (
+        F.when(dd % 5 == 0, F.concat(
+            F.repeat(F.lit("loop/"), (dd % 6 + 2).cast("int")), F.lit("p")))
+        .when(dd % 5 == 1, F.concat(F.lit("a/b/c/d/e/f/g/h/i/"), dd.cast("string")))
+        .when(dd % 5 == 2, F.concat(F.lit("cal/2024/01/"), (dd % 28 + 1).cast("string")))
+        .otherwise(F.concat(F.lit("page/"), dd.cast("string")))
+    )
+    qpart = F.when(
+        dd % 3 == 0,
+        F.concat(F.lit("?s="), F.repeat(F.lit("p&"), (dd % 12).cast("int")), F.lit("e=1")),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://site"), (dd % 7).cast("string"), F.lit(".example.com/"),
+        path_mid, qpart,
+    )
+    u = d.select("doc_id", url.alias("url"))
+    cols = webindex.trap_feature_cols(F.col("url"))
+    return u.select("doc_id", "url", *[c.alias(k) for k, c in cols.items()])
+
+
+_HOST_EDGES_SQL = """
+    SELECT DISTINCT 'h' || (doc_id % 13)::VARCHAR AS src,
+           'h' || (((7 * doc_id + k) % (SELECT count(*) FROM documents)) % 13)::VARCHAR AS dst
+    FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+"""
+
+
+@q("host_graph_rank", _pagerank_oracle(iters=5, alpha=0.9, edges_sql=_HOST_EDGES_SQL))
+def host_graph_rank(spark, sf_dir):
+    """Host-level PageRank: the page graph of the crawl corpus (doc i →
+    (7i+k) mod N, host = id mod 13) aggregated to its host graph, then the
+    same damped-PageRank engine (pagerank.py). This is the crawl-ordering
+    signal a frontier actually uses at 10^10 URLs — ranking 10^7 hosts
+    instead of 10^10 pages makes the reprioritization join broadcast-able
+    (master.py:125-149 reorders per-URL; host aggregation is the scale
+    fix). Oracle: the unrolled-CTE chain parameterized on the host edge
+    set."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    dd = F.col("doc_id")
+    edges = (
+        docs.select(dd, F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .select(
+            F.concat(F.lit("h"), (dd % 13).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), (((dd * 7 + F.col("k")) % n) % 13).cast("string")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, alpha=0.9, iters=5)
+    return ranks.select(F.col("url").alias("node"), F.round("rank", 8).alias("rank"))
+
+
+_CONTAIN_CORPUS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(list_slice(w, 1, (3 * len(w)) // 5), ' ') AS text
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents) t0
+"""
+
+
+@q(
+    "shingle_containment",
+    f"""
+    WITH corpus AS ({_CONTAIN_CORPUS_SQL}),
+    t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM corpus),
+    g AS (SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, inter::DOUBLE / sa.n_sh::DOUBLE AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = a_id
+    WHERE inter::DOUBLE / sa.n_sh::DOUBLE >= 0.9
+    """,
+)
+def shingle_containment(spark, sf_dir):
+    """Asymmetric n-gram containment ≥ 0.9 (dedup.containment_pairs) over
+    the corpus plus 60%-prefix variants of every document — the
+    subsumed-page case (template embeddings, paginated supersets, quoted
+    articles) that symmetric Jaccard structurally misses: a prefix doc is
+    100% contained in its original while their Jaccard is only ~0.6."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", textops.tokens_col(F.col("text")).alias("toks"))
+    k = F.expr("(3 * size(toks)) div 5").cast("int")
+    prefixes = toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(F.col("toks"), F.lit(1), k), " ").alias("text"),
+    )
+    corpus = d.unionByName(prefixes)
+    return dedup.containment_pairs(corpus, 0.9, 3)
+
+
+@q(
+    "recrawl_priority",
+    """
+    WITH h AS (
+      SELECT 'https://h' || (doc_id % 13)::VARCHAR || '.docs.example.com/d/'
+               || doc_id::VARCHAR AS url,
+             i,
+             md5(doc_id::VARCHAR || ':' || (i // (1 + doc_id % 6))::VARCHAR) AS digest
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS i) g),
+    c AS (
+      SELECT url, i,
+             CASE WHEN lag(digest) OVER (PARTITION BY url ORDER BY i) IS NULL THEN 0
+                  WHEN digest != lag(digest) OVER (PARTITION BY url ORDER BY i) THEN 1
+                  ELSE 0 END AS changed
+      FROM h),
+    a AS (SELECT url, count(*)::INT AS n_obs, sum(changed)::INT AS n_changes
+          FROM c GROUP BY url)
+    SELECT url, n_obs, n_changes,
+           CASE WHEN n_obs > 1 THEN n_changes::DOUBLE / (n_obs - 1)::DOUBLE
+                ELSE 0.0 END AS change_rate,
+           CASE WHEN (CASE WHEN n_obs > 1 THEN n_changes::DOUBLE / (n_obs - 1)::DOUBLE ELSE 0.0 END) >= 0.8 THEN 'hot'
+                WHEN (CASE WHEN n_obs > 1 THEN n_changes::DOUBLE / (n_obs - 1)::DOUBLE ELSE 0.0 END) >= 0.3 THEN 'warm'
+                ELSE 'cold' END AS tier
+    FROM a
+    """,
+)
+def recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling (webindex.recrawl_priority): six
+    captures per URL whose digest rolls over every (1 + doc_id % 6)
+    captures — change rates 0.2 through 1.0 — classified into
+    hot/warm/cold recrawl tiers from digest transitions. The incremental-
+    crawl budget allocator: politeness budget flows to hot hosts first."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    dd = F.col("doc_id")
+    hist = d.select(
+        dd, F.explode(F.sequence(F.lit(1), F.lit(6))).alias("i_raw")
+    ).select(
+        dd, F.col("i_raw").cast("long").alias("i")
+    ).select(
+        F.concat(
+            F.lit("https://h"), (dd % 13).cast("string"),
+            F.lit(".docs.example.com/d/"), dd.cast("string"),
+        ).alias("url"),
+        F.col("i").alias("obs_ts"),
+        F.md5(
+            F.concat(
+                dd.cast("string"), F.lit(":"),
+                F.expr("i div (1 + doc_id % 6)").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return webindex.recrawl_priority(hist, id_col="url", ts_col="obs_ts",
+                                     digest_col="digest")

@@ -1,0 +1,196 @@
+"""Web-archive indexing and crawl-scheduling operators: SURT url keys,
+CDX-style capture indexes, URL-shape trap detection, and change-rate-driven
+recrawl prioritization.
+
+These are the operators a Common-Crawl-style archive pipeline runs next to
+the frontier itself (the reference's master keeps its frontier in Redis and
+never indexes what it fetched — 分布式京东商品详情页/master.py stores raw url
+lists; this module is the archive-side complement the brief's 10^10-URL
+design point needs):
+
+- SURT (Sort-friendly URI Reordering Transform) turns a URL into a key that
+  groups all captures of one resource and sorts host-hierarchically
+  (`com,example)/path?a=1`), so the CDX index can be range-partitioned by
+  prefix and a host's captures are one contiguous scan.
+- The CDX index itself is (urlkey, ts, digest, bytes): one row per capture,
+  ordered within urlkey. Lookups ("all captures of this URL", "latest
+  capture per resource") become partition-pruned range scans.
+- Trap detection scores URL *shape* — the complement of round.py's
+  volumetric `max_urls_per_host` guard: calendar loops, repeated path
+  segments, and parameter explosions are recognizable before fetching a
+  single page from the trap.
+- Recrawl prioritization estimates per-URL change rate from capture history
+  (digest transitions between consecutive captures) — the signal an
+  incremental crawl uses to spend its politeness budget on pages that
+  actually change.
+
+Everything is built from JVM-side column expressions (no Python UDFs): the
+per-URL work is pure string/array algebra, exactly what whole-stage codegen
+is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------- SURT
+
+def surt_col(url: Column) -> Column:
+    """Simplified SURT key: lowercased host (port and leading ``www.``
+    stripped) reversed on dots and comma-joined, then ``)`` + lowercased
+    path (empty → ``/``) + ``?``-prefixed alphabetically-sorted lowercased
+    query params.
+
+    ``https://WWW.Site.Example.COM:8080/A/B?b=2&a=1`` →
+    ``com,example,site)/a/b?a=1&b=2``.
+
+    try_parse_url throughout — crawl-wild input must never throw (ANSI mode
+    makes parse_url raise on malformed URLs; ADVICE r01)."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.try_parse_url(url, F.lit("PATH")))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.lower(F.try_parse_url(url, F.lit("QUERY")))
+    qnorm = F.when(
+        query.isNotNull() & (query != ""),
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(revhost, F.lit(")"), path, qnorm)
+    )
+
+
+# ---------------------------------------------------------------- CDX index
+
+def cdx_index(captures: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts", html_col: str = "html") -> DataFrame:
+    """Build a CDX-style capture index: one row per (url, ts) capture with
+    (urlkey, cdx_ts, digest, n_bytes, seq).
+
+    seq numbers captures WITHIN one urlkey (ordered by ts) — deliberately
+    NOT a global row_number: a global ordering window is a single-partition
+    bottleneck at 10^10 captures, while per-urlkey numbering shuffles once
+    on urlkey (the same shuffle the downstream range-partitioned sink needs,
+    so at scale it is free) and each key's history is tiny. Latest-capture
+    lookup = ``seq = 1`` after partition pruning on the urlkey prefix."""
+    w = Window.partitionBy("urlkey").orderBy(F.col("cdx_ts"), F.col("digest"))
+    return (
+        captures.select(
+            surt_col(F.col(url_col)).alias("urlkey"),
+            F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("cdx_ts"),
+            F.substring(F.sha2(F.col(html_col), 256), 1, 16).alias("digest"),
+            F.octet_length(F.col(html_col)).cast("long").alias("n_bytes"),
+        )
+        .where(F.col("urlkey").isNotNull())
+        .withColumn("seq", F.row_number().over(w).cast("int"))
+    )
+
+
+# ------------------------------------------------------------ trap scoring
+
+def trap_feature_cols(url: Column) -> dict[str, Column]:
+    """URL-shape features for crawler-trap detection, all JVM-side:
+
+    - path_depth: non-empty path segments;
+    - max_seg_repeat: occurrences of the most-repeated path segment
+      (calendar/mirror loops repeat a segment: ``/loop/loop/loop/``);
+    - n_params: query parameters;
+    - url_len;
+    - has_calendar: a ``/dddd/dd/`` date pattern in the path;
+    - is_trap: the standard disjunction (repeated segment ≥3, depth >8,
+      params >8, or length >200) — Heritrix's PathologicalPathDecideRule
+      family, expressed as one codegen-able boolean.
+
+    The nested higher-order expression (count each distinct segment's
+    occurrences) is linear in segments per URL and segments are short;
+    single-parameter lambdas only (a two-parameter lambda silently binds
+    the array index — see canon/textops notes)."""
+    path = F.lower(F.try_parse_url(url, F.lit("PATH")))
+    path = F.coalesce(path, F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    path_depth = F.size(segs)
+    max_seg_repeat = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda s: F.size(F.filter(segs, lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_params = F.when(
+        query.isNull() | (query == ""), F.lit(0)
+    ).otherwise(F.size(F.split(query, "&")))
+    url_len = F.length(url)
+    has_calendar = path.rlike(r"/\d{4}/\d{2}/").cast("int")
+    is_trap = (
+        (max_seg_repeat >= 3)
+        | (path_depth > 8)
+        | (n_params > 8)
+        | (url_len > 200)
+    ).cast("int")
+    return {
+        "path_depth": path_depth.cast("int"),
+        "max_seg_repeat": max_seg_repeat.cast("int"),
+        "n_params": n_params.cast("int"),
+        "url_len": url_len.cast("int"),
+        "has_calendar": has_calendar,
+        "is_trap": is_trap,
+    }
+
+
+def score_traps(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach trap_feature_cols to a URL table. Map-only — no shuffle: at
+    frontier admission time this runs inside the same stage as the
+    canonicalize/robots filters."""
+    cols = trap_feature_cols(F.col(url_col))
+    return urls.select(url_col, *[c.alias(k) for k, c in cols.items()])
+
+
+# ------------------------------------------------------- recrawl scheduling
+
+def recrawl_priority(history: DataFrame, id_col: str = "url",
+                     ts_col: str = "obs_ts", digest_col: str = "digest") -> DataFrame:
+    """Change-rate estimation from capture history: for each resource,
+    compare consecutive captures' digests (lag over capture order), count
+    transitions, and bucket into hot/warm/cold recrawl tiers.
+
+    change_rate = transitions / (n_obs - 1) — the maximum-likelihood
+    estimate of per-interval change probability for evenly-spaced captures
+    (Cho & Garcia-Molina, "Estimating Frequency of Change", §4: the naive
+    estimator; their bias-corrected variant needs the interval lengths,
+    which the CDX ts supplies, but the naive form is the standard first
+    tier). One shuffle (partitionBy resource), history per resource is
+    short — skew-free by construction."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    changed = (
+        F.when(F.lag(digest_col).over(w).isNull(), F.lit(0))
+        .when(F.col(digest_col) != F.lag(digest_col).over(w), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    per_obs = history.select(
+        F.col(id_col), F.col(ts_col), changed.alias("changed")
+    )
+    agg = per_obs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_obs"),
+        F.sum("changed").cast("int").alias("n_changes"),
+    )
+    rate = F.when(
+        F.col("n_obs") > 1,
+        F.col("n_changes").cast("double") / (F.col("n_obs") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_obs",
+        "n_changes",
+        rate.alias("change_rate"),
+        F.when(rate >= 0.8, F.lit("hot"))
+        .when(rate >= 0.3, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )

@@ -1,0 +1,110 @@
+"""webindex.py: SURT keys, CDX capture index, URL trap-shape scoring,
+change-rate recrawl tiers — plus dedup.containment_pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark import dedup, webindex
+
+
+def _surt(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.k for r in df.select(webindex.surt_col(F.col("url")).alias("k")).collect()
+    ]
+
+
+def test_surt_normalizes_case_www_port_and_query_order(spark):
+    keys = _surt(spark, [
+        "HTTPS://WWW.Site.Example.COM:8080/A/B?b=2&a=1",
+        "https://site.example.com/a/b?a=1&b=2",
+    ])
+    # same resource modulo scheme/case/www/port/param-order → same key
+    assert keys[0] == keys[1] == "com,example,site)/a/b?a=1&b=2"
+
+
+def test_surt_empty_path_and_no_query(spark):
+    keys = _surt(spark, ["https://example.com", "http://example.com/"])
+    assert keys == ["com,example)/", "com,example)/"]
+
+
+def test_surt_malformed_url_yields_null_not_throw(spark):
+    # ANSI parse_url throws on stray % escapes; surt_col must pass them to
+    # null (ADVICE r01 failure mode)
+    keys = _surt(spark, ["https://h0.example.com/%zz", "not a url"])
+    assert keys == [None, None]
+
+
+def test_cdx_index_seq_within_urlkey(spark):
+    caps = spark.createDataFrame(
+        [
+            ("https://a.example.com/x", "2024-03-01 00:00:00", b"v1"),
+            ("https://a.example.com/x", "2024-04-01 00:00:00", b"v2"),
+            ("https://b.example.com/y", "2024-03-15 00:00:00", b"v1"),
+        ],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = webindex.cdx_index(caps).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.urlkey, []).append(r)
+    a = sorted(by_key["com,example,a)/x"], key=lambda r: r.seq)
+    assert [r.seq for r in a] == [1, 2]
+    assert a[0].cdx_ts == "20240301000000" and a[1].cdx_ts == "20240401000000"
+    assert a[0].digest != a[1].digest  # content changed between captures
+    assert [r.seq for r in by_key["com,example,b)/y"]] == [1]
+    assert all(r.n_bytes == 2 for r in out)
+
+
+def _traps(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return webindex.score_traps(df).collect()
+
+
+def test_trap_repeated_segments_flagged(spark):
+    rows = _traps(spark, ["https://e.com/loop/loop/loop/p", "https://e.com/a/b/c"])
+    assert rows[0].max_seg_repeat == 3 and rows[0].is_trap == 1
+    assert rows[1].max_seg_repeat == 1 and rows[1].is_trap == 0
+
+
+def test_trap_depth_params_calendar(spark):
+    deep = "https://e.com/" + "/".join("s%d" % i for i in range(9))
+    many = "https://e.com/p?" + "&".join("k%d=1" % i for i in range(9))
+    cal = "https://e.com/blog/2024/01/5"
+    rows = _traps(spark, [deep, many, cal])
+    assert rows[0].path_depth == 9 and rows[0].is_trap == 1
+    assert rows[1].n_params == 9 and rows[1].is_trap == 1
+    assert rows[2].has_calendar == 1 and rows[2].is_trap == 0
+
+
+def test_trap_malformed_url_scores_without_throwing(spark):
+    rows = _traps(spark, ["https://h0.example.com/%zz/a"])
+    assert rows[0].path_depth == 0 and rows[0].is_trap == 0  # unparseable → neutral
+
+
+def test_recrawl_priority_tiers(spark):
+    # url A: digest changes every capture (rate 1.0 → hot); B: one change
+    # in 4 intervals (0.25 → cold); C: single capture (rate 0 → cold)
+    hist = spark.createDataFrame(
+        [("A", i, "d%d" % i) for i in range(5)]
+        + [("B", i, "x" if i < 4 else "y") for i in range(5)]
+        + [("C", 0, "z")],
+        "url string, obs_ts long, digest string",
+    )
+    out = {r.url: r for r in webindex.recrawl_priority(hist).collect()}
+    assert out["A"].change_rate == 1.0 and out["A"].tier == "hot"
+    assert out["B"].n_changes == 1 and out["B"].tier == "cold"
+    assert out["C"].n_obs == 1 and out["C"].change_rate == 0.0
+
+
+def test_containment_asymmetric(spark):
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    prefix = "w1 w2 w3 w4 w5 w6"  # all its 3-grams appear in long
+    docs = spark.createDataFrame(
+        [(1, long), (2, prefix), (3, "q1 q2 q3 q4 q5")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a_id, r.b_id): r.containment
+             for r in dedup.containment_pairs(docs, 0.9, 3).collect()}
+    assert pairs == {(2, 1): 1.0}  # prefix ⊂ long; never the reverse
