@@ -71,6 +71,8 @@ HEADLINE = [
     "host_graph_rank",       # round 2: host-aggregated PageRank
     "shingle_containment",   # round 2: asymmetric containment dedup
     "recrawl_priority",      # round 2: change-rate recrawl tiers
+    "cdx_lookup",            # round 2: pruned CDX sink + lookup roundtrip
+    "dsir_weights",          # round 2: DSIR importance weighting
 ]
 
 

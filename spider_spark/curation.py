@@ -173,3 +173,67 @@ def curate(
         "n_tokens",
         sampling.split_col(F.col(id_col), split_weights).alias("split"),
     )
+
+
+def dsir_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, public method): weight each pool document
+    by how much more likely a TARGET-domain language model finds it than
+    the POOL's own language model — mean per-token
+    log2 P_target(w) − log2 P_pool(w). Selection then keeps the top-weight
+    documents (resampling ∝ weight in the paper; the deterministic top-k
+    variant composes with sampling.hash_sample for the stochastic form).
+
+    The paper uses hashed-bigram LMs; here both LMs are add-one-smoothed
+    unigram models (same estimator as unigram_lm_scores, so the weight is
+    exactly reproducible in SQL). Positive = target-like, negative =
+    generic-web-like.
+
+    Scale shape: two explode+count fits (target is small by definition;
+    the pool fit is one extra shuffle over the same exploded tokens the
+    scoring pass needs anyway), then scoring streams the pool through TWO
+    broadcast vocabulary joins and aggregates once per doc — one pool-wide
+    shuffle total, no driver-side state."""
+
+    def _fit(df: DataFrame):
+        toks = df.select(F.explode(textops.tokens_col(F.col(text_col))).alias("w"))
+        cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.agg(
+            F.sum("c").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        return cnt, tot
+
+    t_cnt, t_tot = _fit(target)
+    p_cnt, p_tot = _fit(pool)
+    toks = pool.select(
+        id_col, F.explode(textops.tokens_col(F.col(text_col))).alias("w")
+    )
+    scored = (
+        toks.join(F.broadcast(t_cnt.withColumnRenamed("c", "ct")), "w", "left")
+        .join(F.broadcast(p_cnt.withColumnRenamed("c", "cp")), "w", "left")
+        .crossJoin(F.broadcast(t_tot.select(F.col("t").alias("tt"), F.col("v").alias("tv"))))
+        .crossJoin(F.broadcast(p_tot.select(F.col("t").alias("pt"), F.col("v").alias("pv"))))
+        .select(
+            id_col,
+            (
+                F.log2(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + F.col("tv")).cast("double")
+                )
+                - F.log2(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1).cast("double")
+                    / (F.col("pt") + F.col("pv")).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("lr"), 6).alias("dsir_weight"),
+    )

@@ -3211,3 +3211,108 @@ def recrawl_priority(spark, sf_dir):
     )
     return webindex.recrawl_priority(hist, id_col="url", ts_col="obs_ts",
                                      digest_col="digest")
+
+
+_CDX_CAPS_SQL = """
+      SELECT doc_id, k,
+        'com,example,docs,h' || (doc_id % 13)::VARCHAR || ')/d/' || doc_id::VARCHAR AS urlkey,
+        strftime(make_timestamp(2024, 3 + k, 1 + doc_id % 28, doc_id % 24, doc_id % 60, 0.0),
+                 '%Y%m%d%H%M%S') AS cdx_ts,
+        '<html><body>' || text ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'v' || k::VARCHAR ELSE '' END) || '</body></html>' AS page
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) g
+"""
+
+
+def _cdx_captures_df(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    caps = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"),
+    )
+    dd = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (dd % 13).cast("string"),
+        F.lit(".docs.example.com/d/"), dd.cast("string"),
+    )
+    ts = F.make_timestamp(
+        F.lit(2024), F.lit(3) + F.col("k"), (dd % 28 + 1).cast("int"),
+        (dd % 24).cast("int"), (dd % 60).cast("int"), F.lit(0),
+    )
+    page = F.concat(
+        F.lit("<html><body>"), F.col("text"),
+        F.when(dd % 3 == 0, F.concat(F.lit("v"), F.col("k").cast("string"))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return caps.select(
+        url.alias("url"), ts.alias("warc_ts"), F.encode(page, "UTF-8").alias("html")
+    )
+
+
+@q(
+    "cdx_lookup",
+    f"""
+    WITH caps AS ({_CDX_CAPS_SQL}),
+    idx AS (
+      SELECT urlkey, cdx_ts,
+             substr(sha256(page), 1, 16) AS digest,
+             octet_length(encode(page))::BIGINT AS n_bytes,
+             row_number() OVER (PARTITION BY urlkey ORDER BY cdx_ts,
+                                substr(sha256(page), 1, 16))::INT AS seq
+      FROM caps)
+    SELECT urlkey, cdx_ts, digest, n_bytes, seq FROM idx
+    WHERE urlkey = 'com,example,docs,h1)/d/1'
+    """,
+)
+def cdx_lookup(spark, sf_dir):
+    """CDX sink + partition-pruned lookup end-to-end: build the capture
+    index, persist it hash-partitioned on urlkey bucket (webindex.write_cdx,
+    Hive layout), then answer "all captures of this resource" reading ONE
+    bucket directory (webindex.lookup_captures — the kb equality is a
+    PartitionFilter, asserted on the plan in test_webindex). This is the D5
+    partition-pruning story exercised through a real sink, not just a
+    PLANS.md explain."""
+    idx = webindex.cdx_index(_cdx_captures_df(spark, sf_dir))
+    workdir = tempfile.mkdtemp(prefix="cdx_idx_")
+    webindex.write_cdx(idx, f"{workdir}/cdx", n_buckets=16)
+    out = webindex.lookup_captures(
+        spark, f"{workdir}/cdx", "com,example,docs,h1)/d/1", n_buckets=16
+    )
+    return out.select("urlkey", "cdx_ts", "digest", "n_bytes", "seq")
+
+
+@q(
+    "dsir_weights",
+    f"""
+    WITH tgt AS (SELECT unnest({_SQL_TOKENS}) AS w FROM documents WHERE doc_id % 7 = 0),
+    tc AS (SELECT w, count(*) AS ct FROM tgt GROUP BY w),
+    ttot AS (SELECT sum(ct)::BIGINT AS t_t, count(*)::BIGINT AS t_v FROM tc),
+    pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+    pl AS (SELECT unnest({_SQL_TOKENS}) AS w FROM pool),
+    pc AS (SELECT w, count(*) AS cp FROM pl GROUP BY w),
+    ptot AS (SELECT sum(cp)::BIGINT AS p_t, count(*)::BIGINT AS p_v FROM pc),
+    toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM pool),
+    s AS (
+      SELECT doc_id,
+             log2((coalesce(tc.ct, 0) + 1)::DOUBLE
+                  / ((SELECT t_t FROM ttot) + (SELECT t_v FROM ttot))::DOUBLE)
+           - log2((coalesce(pc.cp, 0) + 1)::DOUBLE
+                  / ((SELECT p_t FROM ptot) + (SELECT p_v FROM ptot))::DOUBLE) AS lr
+      FROM toks LEFT JOIN tc USING (w) LEFT JOIN pc USING (w))
+    SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lr), 6) AS dsir_weight
+    FROM s GROUP BY doc_id
+    """,
+)
+def dsir_weights(spark, sf_dir):
+    """DSIR importance weights (curation.dsir_weights): every pool doc
+    (doc_id%7!=0) scored by mean per-token log-likelihood ratio between a
+    target-domain unigram LM (fit on the doc_id%7==0 slice) and the pool's
+    own LM. The data-selection counterpart of lm_perplexity_scores: rank by
+    dsir_weight, keep the top; two broadcast vocab joins, one pool
+    shuffle."""
+    from spider_spark import curation
+
+    d = T(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0)
+    )

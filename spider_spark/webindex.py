@@ -194,3 +194,41 @@ def recrawl_priority(history: DataFrame, id_col: str = "url",
         .otherwise(F.lit("cold"))
         .alias("tier"),
     )
+
+
+# ------------------------------------------------------ CDX sink + lookup
+
+def cdx_bucket_col(urlkey: Column, n_buckets: int) -> Column:
+    """Stable hash bucket for a urlkey — the CDX sink's partition key.
+    pmod(xxhash64) not abs(...)%n: abs(Long.MIN_VALUE) overflows under
+    ANSI, pmod is total."""
+    return F.pmod(F.xxhash64(urlkey), F.lit(n_buckets)).cast("int")
+
+
+def write_cdx(cdx: DataFrame, path: str, n_buckets: int = 16) -> None:
+    """Persist a CDX index hash-partitioned by urlkey bucket (Hive layout,
+    partition column ``kb``). A capture lookup then computes the literal's
+    bucket and reads ONE partition directory — partition pruning makes the
+    lookup O(captures-per-bucket) regardless of index size. At the 10^10-
+    capture design point n_buckets grows to ~10^4 (10^6 captures/bucket,
+    ~64 MB parquet each); bucket count is a layout constant recorded next
+    to the data, exactly like the seen-set's bucket geometry (seen.py).
+
+    The partitionBy write shuffles on kb — the same shuffle cdx_index's
+    per-urlkey seq window already performed (hash(urlkey) is a function of
+    urlkey), so AQE coalesces rather than re-exchanging."""
+    out = cdx.withColumn("kb", cdx_bucket_col(F.col("urlkey"), n_buckets))
+    out.write.mode("overwrite").partitionBy("kb").parquet(path)
+
+
+def lookup_captures(spark, path: str, urlkey: str, n_buckets: int = 16) -> DataFrame:
+    """All captures of one resource from a write_cdx index: the kb equality
+    predicate is a PartitionFilter (one directory scanned), the urlkey
+    equality pushes into the parquet row-group scan. Verify with
+    ``.explain`` → ``PartitionFilters: [(kb = N)]``."""
+    df = spark.read.parquet(path)
+    kb = spark.sql(
+        "SELECT CAST(pmod(xxhash64(?), ?) AS INT) AS kb",
+        args=[urlkey, n_buckets],
+    ).head()[0]
+    return df.where((F.col("kb") == kb) & (F.col("urlkey") == urlkey)).drop("kb")

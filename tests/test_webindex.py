@@ -108,3 +108,38 @@ def test_containment_asymmetric(spark):
     pairs = {(r.a_id, r.b_id): r.containment
              for r in dedup.containment_pairs(docs, 0.9, 3).collect()}
     assert pairs == {(2, 1): 1.0}  # prefix ⊂ long; never the reverse
+
+
+def test_write_cdx_lookup_is_partition_pruned(spark, tmp_path):
+    caps = spark.createDataFrame(
+        [("https://h%d.example.com/p/%d" % (i % 5, i),
+          "2024-03-%02d 00:00:00" % (1 + i % 28), b"x%d" % i)
+         for i in range(50)],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    idx = webindex.cdx_index(caps)
+    path = str(tmp_path / "cdx")
+    webindex.write_cdx(idx, path, n_buckets=8)
+    key = "com,example,h1)/p/1"
+    out = webindex.lookup_captures(spark, path, key, n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kb" in plan  # pruned scan
+    rows = out.collect()
+    assert [r.urlkey for r in rows] == [key] and rows[0].seq == 1
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from spider_spark import curation
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [(1, "alpha beta gamma zeta"),      # mostly target vocabulary
+         (2, "qq ww ee rr tt yy uu")],       # disjoint vocabulary
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.dsir_weight
+           for r in curation.dsir_weights(pool, target).collect()}
+    assert out[1] > out[2]  # target-like doc gets the higher weight
