@@ -214,11 +214,12 @@ def write_cdx(cdx: DataFrame, path: str, n_buckets: int = 16) -> None:
     ~64 MB parquet each); bucket count is a layout constant recorded next
     to the data, exactly like the seen-set's bucket geometry (seen.py).
 
-    The partitionBy write shuffles on kb — the same shuffle cdx_index's
-    per-urlkey seq window already performed (hash(urlkey) is a function of
-    urlkey), so AQE coalesces rather than re-exchanging."""
+    The explicit repartition("kb") before the write is file hygiene:
+    partitionBy alone writes one file per (task, bucket) pair — up to
+    tasks × buckets small files; clustering on kb first yields exactly one
+    file per bucket per write."""
     out = cdx.withColumn("kb", cdx_bucket_col(F.col("urlkey"), n_buckets))
-    out.write.mode("overwrite").partitionBy("kb").parquet(path)
+    out.repartition("kb").write.mode("overwrite").partitionBy("kb").parquet(path)
 
 
 def lookup_captures(spark, path: str, urlkey: str, n_buckets: int = 16) -> DataFrame:
