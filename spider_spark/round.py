@@ -93,6 +93,12 @@ class CrawlConfig:
                                 # dropped (re-discoverable, re-dropped —
                                 # bounded rework, no correctness effect on
                                 # the seen set). 0 = off.
+    trap_shape_guard: bool = False  # shape-based trap rejection at child
+                                # admission (webindex.trap_feature_cols
+                                # is_trap: repeated path segments, depth,
+                                # param explosions, length). Map-only -
+                                # same stage as canonicalize/robots, runs
+                                # BEFORE the volumetric cap ever windows.
     seq_mode: str = "global"    # "global": dense global discovery rank —
                                 # exact parity with the reference's single
                                 # FIFO frontier (3 extra jobs/round).
@@ -408,6 +414,14 @@ def run_round(
         F.col("depth").cast("double").alias("priority"),
         F.lit(0).alias("attempt"),
     )
+
+    # --- crawler-trap guard: URL-shape rejection (map-only) ---------------
+    if cfg.trap_shape_guard:
+        from spider_spark.webindex import trap_feature_cols
+
+        new_children = new_children.where(
+            trap_feature_cols(F.col("url"))["is_trap"] == 0
+        )
 
     # --- crawler-trap guard: cumulative per-host admission cap -------------
     if cfg.max_urls_per_host > 0:

@@ -249,3 +249,40 @@ def test_max_urls_per_host_trap_guard(spark, fixture, tmp_path):
         totals[mode] = fr.count()
         assert totals[mode] < free.count()
     assert totals["cow"] == totals["mor"]
+
+
+def test_trap_shape_guard_rejects_trap_children(spark, tmp_path):
+    """Shape guard: a page linking into a repeated-segment loop never
+    admits the loop URL; guard off admits it; done/failed sets for clean
+    URLs are identical either way."""
+    host = "h0.example.com"
+    trap = f"https://{host}/loop/loop/loop/p"
+    clean = f"https://{host}/p/1"
+    seed = f"https://{host}/p/0"
+    pages = spark.createDataFrame(
+        [
+            (seed, f'<html><a href="{clean}"></a><a href="{trap}"></a></html>'),
+            (clean, "<html>leaf</html>"),
+            (trap, "<html>trap page</html>"),
+        ],
+        "url string, html string",
+    ).withColumn("html", F.encode("html", "UTF-8"))
+    policy = spark.createDataFrame(
+        [(host, 0.0, ["/"], [], -1)],
+        "host string, crawl_delay double, robots_allow array<string>, "
+        "robots_deny array<string>, host_budget int",
+    )
+    seeds = [(seed, 0)]
+
+    outcomes = {}
+    for name, guard in (("off", False), ("on", True)):
+        wd = tmp_path / name
+        crawl(spark, wd, pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=6, trap_shape_guard=guard))
+        fr = tables.read_table(spark, wd, tables.latest_round(wd), "frontier")
+        outcomes[name] = {r.url: r.status for r in fr.collect()}
+
+    assert trap in outcomes["off"] and outcomes["off"][trap] == "done"
+    assert trap not in outcomes["on"]
+    for u in (seed, clean):
+        assert outcomes["on"][u] == outcomes["off"][u] == "done"
