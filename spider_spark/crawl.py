@@ -54,6 +54,15 @@ def crawl(
     workdir = Path(workdir)
     mor = cfg.frontier_mode == "mor"
 
+    # Compile robots Allow/Disallow patterns (RFC 9309 wildcards +
+    # longest-match lengths) ONCE per crawl — run_round's compile_policy
+    # call is idempotent, so the per-round loop never pays the (tiny,
+    # policy-sized) Arrow stage again. policy_backoff preserves the
+    # compiled columns (withColumn-only).
+    from spider_spark.robots import compile_policy
+
+    policy = compile_policy(policy)
+
     start = tables.latest_round(workdir) if resume else None
     if start is None:
         if isinstance(seeds, DataFrame):

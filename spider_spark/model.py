@@ -13,7 +13,9 @@ B6 retry budget), with the §2.H bugs deliberately NOT replicated:
   the engine's A2 mapping, asserted separately from BFS parity;
 - fetch-miss retries up to MAX_PAGE_TRIED=2 (client_crawler.py:362), then
   status 'failed';
-- robots deny = path-prefix match, evaluated at claim time, permanent.
+- robots verdict = RFC 9309 longest-match over Allow/Disallow patterns
+  (robots.robots_denied — the same pure-python matcher the engine's JVM
+  expression mirrors), evaluated at claim time, permanent.
 
 The Spark engine must reproduce this model's final frontier, seen-set,
 fetch-round assignment, link graph, and byte-identical extracted text.
@@ -65,11 +67,15 @@ def run_model(
     max_tries: int = 2,
     host_budget: int = -1,
     robots_deny: dict[str, list[str]] | None = None,
+    robots_allow: dict[str, list[str]] | None = None,
 ) -> ModelResult:
+    from spider_spark.robots import robots_denied
+
     frontier: dict[str, Entry] = {}
     links: list[tuple[str, str, int]] = []
     text: dict[str, str] = {}
     deny = robots_deny or {}
+    allow = robots_allow or {}
 
     for i, url in enumerate(seeds):  # A10 seed injection, first-wins on dupes
         if url in frontier:
@@ -92,7 +98,7 @@ def run_model(
         for e in pending:
             host = host_of(e.url) or ""
             path = e.url.split(host, 1)[-1] if host else e.url
-            if any(path.startswith(p) for p in deny.get(host, [])):
+            if robots_denied(path, allow.get(host, []), deny.get(host, [])):
                 e.status = "denied"
             else:
                 claimable.append(e)

@@ -1199,18 +1199,88 @@ def url_normalize(spark, sf_dir):
     """,
 )
 def robots_filter(spark, sf_dir):
-    """A13: robots allow/deny prefix filter — the same F.exists prefix test
-    run_round applies against the broadcast host_policy, on synthetic paths."""
+    """A13: robots deny filter — the engine's RFC 9309 longest-match
+    verdict (robots.denied_col over compiled rules, the exact expression
+    run_round applies against the broadcast host_policy) on synthetic
+    paths. With a single prefix deny rule and no allow rules, longest-match
+    reduces to the prefix test the oracle states."""
+    from spider_spark import robots as R
+
     d = T(spark, sf_dir, "documents")
     path = F.concat(
         F.lit("/"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("private")).otherwise(F.lit("p")),
         F.lit("/"), F.col("doc_id").cast("string"),
     )
-    deny = F.array(F.lit("/private"))
+    rules = [R.compile_rule("/private")]
+    deny_rules = F.array(*[
+        F.struct(F.lit(c["prefix"]).alias("prefix"),
+                 F.lit(c["re"]).cast("string").alias("re"),
+                 F.lit(c["ln"]).alias("ln"))
+        for c in rules
+    ])
+    allow_rules = F.array().cast(R.RULES_TYPE)
     u = d.select("doc_id", path.alias("path"))
-    denied = F.exists(deny, lambda p: F.col("path").startswith(p))
+    denied = R.denied_col(F.col("path"), allow_rules, deny_rules)
     return u.select(
+        "doc_id", "path",
+        F.when(denied, F.lit("denied")).otherwise(F.lit("allowed")).alias("verdict"),
+    )
+
+
+@q(
+    "robots_wildcard_match",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+                  WHEN 0 THEN '/cgi/' || doc_id::VARCHAR || '.php'
+                  WHEN 1 THEN '/pub/' || doc_id::VARCHAR || '.php'
+                  WHEN 2 THEN '/pub/files/' || doc_id::VARCHAR
+                  ELSE '/open/' || doc_id::VARCHAR END AS path
+      FROM documents),
+    m AS (
+      SELECT doc_id, path,
+             greatest(
+               CASE WHEN regexp_matches(path, '^/.*\\.php$') THEN 7 ELSE 0 END,
+               CASE WHEN path LIKE '/pub/files%' THEN 10 ELSE 0 END) AS deny_len,
+             greatest(
+               CASE WHEN regexp_matches(path, '^/pub/.*\\.php$') THEN 11 ELSE 0 END,
+               CASE WHEN path LIKE '/open%' THEN 5 ELSE 0 END) AS allow_len
+      FROM u)
+    SELECT doc_id, path,
+           CASE WHEN deny_len > allow_len THEN 'denied' ELSE 'allowed' END AS verdict
+    FROM m
+    """,
+)
+def robots_wildcard_match(spark, sf_dir):
+    """A13, RFC 9309 §2.2.2-2.2.3 wildcard + longest-match verdicts through
+    the REAL engine path: raw Allow/Disallow patterns → compile_policy
+    (pandas-compiled prefix/regex/length structs) → denied_col (the JVM
+    expression run_round uses). Rules: deny ['/*.php$', '/pub/files'],
+    allow ['/pub/*.php$', '/open'] — exercising wildcard deny beaten by a
+    longer wildcard allow, literal-prefix deny, and no-match default. The
+    oracle independently hand-compiles each rule to DuckDB regex/LIKE with
+    its octet length and replays the longest-match comparison."""
+    from spider_spark import robots as R
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/cgi/"), did.cast("string"), F.lit(".php")))
+        .when(did % 4 == 1, F.concat(F.lit("/pub/"), did.cast("string"), F.lit(".php")))
+        .when(did % 4 == 2, F.concat(F.lit("/pub/files/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/open/"), did.cast("string")))
+    )
+    pol = spark.createDataFrame(
+        [("h", 1.0, ["/pub/*.php$", "/open"], ["/*.php$", "/pub/files"], -1)],
+        "host string, crawl_delay double, robots_allow array<string>, "
+        "robots_deny array<string>, host_budget int",
+    )
+    u = d.select("doc_id", path.alias("path"), F.lit("h").alias("host"))
+    j = u.join(F.broadcast(R.compile_policy(pol)), "host")
+    denied = R.denied_col(F.col("path"), F.col("allow_rules"), F.col("deny_rules"))
+    return j.select(
         "doc_id", "path",
         F.when(denied, F.lit("denied")).otherwise(F.lit("allowed")).alias("verdict"),
     )
@@ -1222,7 +1292,7 @@ _ROBOTS_ORACLE = """
            CASE doc_id % 4
                 WHEN 1 THEN '/a' || doc_id::VARCHAR
                 WHEN 2 THEN '/ok'
-                ELSE '/' END AS allow,
+                ELSE '' END AS allow,
            CASE doc_id % 4
                 WHEN 0 THEN '/private/'
                 WHEN 1 THEN '/d' || doc_id::VARCHAR

@@ -13,9 +13,16 @@ Semantics (Robots Exclusion Protocol, RFC 9309 subset — public spec):
 - the group matching the crawler's agent token (case-insensitive substring
   per RFC 9309 §2.2.1 product-token match, simplified to exact/prefix)
   wins over the ``*`` group; multiple matching groups merge (§2.2.1);
-- ``Allow:`` / ``Disallow:`` values are path prefixes (empty Disallow =
-  allow all — emitted as no rule); ``Crawl-delay`` (the de-facto
-  extension) is taken from the winning group;
+- ``Allow:`` / ``Disallow:`` values are path patterns: literal prefixes,
+  plus the RFC 9309 §2.2.3 special characters ``*`` (matches any octet
+  sequence) and a terminal ``$`` (anchors the end of the path). Empty
+  Disallow = allow all — emitted as no rule. ``Crawl-delay`` (the
+  de-facto extension) is taken from the winning group;
+- rule PRECEDENCE is §2.2.2 longest-match: the matching rule with the
+  most octets wins; an Allow and Disallow of equal length → Allow wins.
+  No matching rule → allowed. (``compile_rule`` / ``denied_col`` below
+  implement this; the engine's per-round enforcement in round.run_round
+  evaluates it JVM-side over the broadcast policy.)
 - comments (#) stripped, keys case-insensitive, unknown keys ignored,
   broken lines skipped — crawl-wild robots files are as messy as
   crawl-wild HTML.
@@ -34,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType, DoubleType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
 )
 
 DEFAULT_CRAWL_DELAY = 5.0  # the reference's CRAWL_DELAY (client_crawler.py:293)
@@ -90,9 +97,119 @@ def parse_robots(body: str | None, agent: str = "spider") -> dict:
     # when no agent-specific group matched anywhere in the file
     g = mine if matched_any else star
     delay = g["delay"] if g["delay"] is not None else DEFAULT_CRAWL_DELAY
-    allow = g["allow"] if g["allow"] else ["/"]
-    return {"robots_allow": allow, "robots_deny": g["deny"], "crawl_delay": delay,
-            "sitemaps": sitemaps}
+    # No implicit Allow rule: under §2.2.2 longest-match, "no rule matches"
+    # already means allowed, and injecting '/' would wrongly tie (and beat)
+    # a 'Disallow: /' deny-all rule.
+    return {"robots_allow": g["allow"], "robots_deny": g["deny"],
+            "crawl_delay": delay, "sitemaps": sitemaps}
+
+
+# -- RFC 9309 §2.2.2-2.2.3 rule matching (wildcards + longest-match) ---------
+
+_RE_SPECIALS = ".[]{}()+?^$|\\"
+
+
+def compile_rule(rule: str) -> dict:
+    """Compile one Allow/Disallow value into a match form.
+
+    - no ``*`` and no terminal ``$`` → plain prefix match (the common
+      case; stays a codegen'd ``startswith`` in the engine);
+    - otherwise an anchored Java/RE2-common regex: ``*`` → ``.*``, a
+      TERMINAL ``$`` → end anchor, every other regex metacharacter
+      escaped (a mid-rule ``$`` is literal per the RFC).
+
+    ``ln`` is the rule's octet length — §2.2.2 specificity (Google's
+    open-sourced matcher counts the raw rule bytes, wildcards included).
+    """
+    ln = len(rule)
+    if "*" not in rule and not rule.endswith("$"):
+        return {"prefix": rule, "re": None, "ln": ln}
+    body, anchor = (rule[:-1], "$") if rule.endswith("$") else (rule, "")
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return {"prefix": None, "re": "^" + "".join(out) + anchor, "ln": ln}
+
+
+def match_len(path: str, rules: list[str]) -> int:
+    """Pure-python model: octet length of the most specific rule matching
+    ``path`` (0 = no match). One source of truth for tests/parity."""
+    import re as _re
+
+    best = 0
+    for rule in rules:
+        c = compile_rule(rule)
+        hit = (
+            path.startswith(c["prefix"]) if c["re"] is None
+            else _re.search(c["re"], path) is not None
+        )
+        if hit and c["ln"] > best:
+            best = c["ln"]
+    return best
+
+
+def robots_denied(path: str, allow: list[str], deny: list[str]) -> bool:
+    """Pure-python verdict model: deny wins only when its most specific
+    matching rule is LONGER than allow's (§2.2.2; equal length → allow)."""
+    return match_len(path, deny) > match_len(path, allow)
+
+
+RULES_TYPE = ArrayType(StructType([
+    StructField("prefix", StringType(), True),
+    StructField("re", StringType(), True),
+    StructField("ln", IntegerType(), True),
+]))
+
+
+def compile_rules_udf():
+    @pandas_udf(RULES_TYPE)
+    def compile_(rules: pd.Series) -> pd.Series:
+        return pd.Series([
+            [compile_rule(r) for r in (rs if rs is not None else [])]
+            for rs in rules
+        ])
+
+    return compile_
+
+
+def compile_policy(policy: DataFrame) -> DataFrame:
+    """Add ``allow_rules`` / ``deny_rules`` (RULES_TYPE) to a host-policy
+    table. Idempotent; runs Arrow-batched on the broadcast-sized policy
+    table (never the frontier), so compilation cost is per-host-per-crawl,
+    not per-URL. crawl() compiles once before the round loop."""
+    if "allow_rules" in policy.columns:
+        return policy
+    c = compile_rules_udf()
+    return policy.withColumn("allow_rules", c(F.col("robots_allow"))).withColumn(
+        "deny_rules", c(F.col("robots_deny"))
+    )
+
+
+def _best_match_len(path, rules) -> "F.Column":
+    matched = F.filter(
+        rules,
+        lambda s: F.when(
+            s["re"].isNull(), path.startswith(s["prefix"])
+        ).otherwise(F.regexp_like(path, s["re"])),
+    )
+    return F.coalesce(
+        F.aggregate(matched, F.lit(0), lambda acc, s: F.greatest(acc, s["ln"])),
+        F.lit(0),  # null rules array (host absent from policy) → no match
+    )
+
+
+def denied_col(path, allow_rules, deny_rules) -> "F.Column":
+    """JVM-side §2.2.2 verdict over compiled rule arrays: denied iff the
+    most specific matching deny rule is strictly longer than the most
+    specific matching allow rule. Prefix rules stay codegen'd
+    ``startswith``; only rules that actually contain wildcards pay the
+    regex path (``regexp_like`` with a per-rule column pattern)."""
+    return _best_match_len(path, deny_rules) > _best_match_len(path, allow_rules)
 
 
 _POLICY_SCHEMA = StructType([

@@ -289,15 +289,21 @@ def run_round(
     new_rows = frontier.where(F.col("status") == "new")
 
     # --- politeness + robots via broadcast policy (A12/A13) ----------------
+    # RFC 9309 §2.2.2-2.2.3 matching: '*'/terminal-'$' wildcard rules,
+    # longest-match precedence, allow wins length ties, no match ⇒ allowed.
+    # compile_policy is idempotent (crawl() pre-compiles once per crawl;
+    # this covers fixtures that call run_round directly) and runs on the
+    # broadcast-sized policy table only — never a per-URL python stage.
+    from spider_spark import robots as R
+
+    policy = R.compile_policy(policy)
     cand = new_rows.join(F.broadcast(policy), "host", "left")
     # try_parse_url, NOT parse_url: ANSI parse_url THROWS on malformed
     # escapes, and canonical_col deliberately lets unparseable crawl-wild
     # hrefs into the frontier raw — one such child must not crash the round
     # (ADVICE r01). Unparseable ⇒ path '/', i.e. subject to root rules.
     path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    denied = F.exists("robots_deny", lambda p: path.startswith(p))
-    allowed = F.exists("robots_allow", lambda p: path.startswith(p))
-    is_denied = F.coalesce(denied, F.lit(False)) | ~F.coalesce(allowed, F.lit(True))
+    is_denied = R.denied_col(path, F.col("allow_rules"), F.col("deny_rules"))
     denied_df = cand.where(is_denied).select("url", "attempt")
     eligible = cand.where(~is_denied)
 

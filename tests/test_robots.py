@@ -42,9 +42,11 @@ def test_messy_input():
 
 
 def test_empty_and_none():
+    # RFC-faithful defaults: NO implicit Allow rule (no rule matching ⇒
+    # allowed already, and an implicit '/' would tie-beat 'Disallow: /')
     for body in ("", None):
         p = parse_robots(body)
-        assert p == {"robots_allow": ["/"], "robots_deny": [],
+        assert p == {"robots_allow": [], "robots_deny": [],
                      "crawl_delay": DEFAULT_CRAWL_DELAY, "sitemaps": []}
 
 
@@ -118,3 +120,110 @@ def test_sitemap_to_seeds_pipeline(spark):
     entries = df.select(F.explode(sitemap_entries_udf()(F.col("sitemap_xml"))).alias("e")).collect()
     kinds = [r["e"]["kind"] for r in entries]
     assert kinds.count("index") == 2  # nested index surfaced for the fetch loop
+
+
+# -- RFC 9309 §2.2.2-2.2.3 matching: wildcards + longest-match ---------------
+
+def test_compile_rule_forms():
+    from spider_spark.robots import compile_rule
+
+    assert compile_rule("/a/b") == {"prefix": "/a/b", "re": None, "ln": 4}
+    # '*' → '.*', terminal '$' anchors, metacharacters escaped
+    assert compile_rule("/*.php$") == {
+        "prefix": None, "re": "^/.*\\.php$", "ln": 7}
+    # mid-rule '$' is literal — stays a plain prefix rule
+    assert compile_rule("/a$b") == {"prefix": "/a$b", "re": None, "ln": 4}
+    # '*'-rule with a mid-rule '$': the '$' must be escaped in the regex
+    assert compile_rule("/a$*b") == {"prefix": None, "re": "^/a\\$.*b", "ln": 5}
+    # regex metachars in a wildcard rule never escape into syntax
+    assert compile_rule("/a+(x)*z") == {
+        "prefix": None, "re": "^/a\\+\\(x\\).*z", "ln": 8}
+
+
+def test_longest_match_semantics():
+    from spider_spark.robots import robots_denied
+
+    # classic RFC example: longer allow re-opens a denied subtree
+    assert robots_denied("/a/b", ["/a/b"], ["/a"]) is False
+    assert robots_denied("/a/c", ["/a/b"], ["/a"]) is True
+    # equal length → allow wins
+    assert robots_denied("/page", ["/page"], ["/page"]) is False
+    # deny-all works without an implicit allow rule
+    assert robots_denied("/anything", [], ["/"]) is True
+    # no rule matches → allowed
+    assert robots_denied("/free", ["/x"], ["/y"]) is False
+    # wildcard deny, longer literal allow
+    assert robots_denied("/x/file.php", [], ["/*.php$"]) is True
+    assert robots_denied("/x/file.php?q=1", [], ["/*.php$"]) is False
+    assert robots_denied("/pri/ok/file", ["/pri/ok"], ["/pri/*/file"]) is True
+
+
+def test_jvm_matcher_parity_with_python_model(spark):
+    """denied_col (JVM expression) must agree with robots_denied (python
+    model) rule-for-rule on a grid including wildcard and metachar rules."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spider_spark.robots import compile_policy, denied_col, robots_denied
+
+    allow = ["/a/b", "/pub*", "/d/e$", "/m+n"]
+    deny = ["/a", "/pub/priv", "/*.cgi$", "/d", "/m"]
+    paths = [
+        "/a/b/c", "/a/x", "/pub/priv/1", "/pubX", "/x/y.cgi", "/x/y.cgiZ",
+        "/d/e", "/d/ee", "/m+n/t", "/mq", "/", "/free",
+    ]
+    pol = spark.createDataFrame(pd.DataFrame({
+        "host": ["h"], "crawl_delay": [1.0],
+        "robots_allow": [allow], "robots_deny": [deny], "host_budget": [-1],
+    }))
+    df = spark.createDataFrame(pd.DataFrame({"host": ["h"] * len(paths),
+                                             "path": paths}))
+    got = {
+        r["path"]: r["denied"]
+        for r in df.join(compile_policy(pol), "host").select(
+            "path",
+            denied_col(F.col("path"), F.col("allow_rules"),
+                       F.col("deny_rules")).alias("denied"),
+        ).collect()
+    }
+    for p in paths:
+        assert got[p] == robots_denied(p, allow, deny), p
+
+
+def test_crawl_enforces_wildcard_rules(spark, tmp_path):
+    """End-to-end: a '*'-wildcard Disallow plus a longer Allow carve-out,
+    enforced by run_round's JVM matcher inside a real crawl."""
+    import pandas as pd
+
+    from spider_spark import corpus, tables
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+
+    pages_pd = corpus.make_pages(n_pages=120, n_hosts=5, seed=13)
+    pages = spark.createDataFrame(pages_pd)
+    seeds_pd = corpus.make_seeds(pages_pd, n_seeds=2, include_missing=False)
+    seeds = list(zip(seeds_pd["url"], seeds_pd["depth"]))
+    hosts = sorted({u.split("/")[2] for u in pages_pd["url"]})
+    robots = spark.createDataFrame(pd.DataFrame({
+        "host": hosts,
+        "robots_txt": ["User-agent: *\nDisallow: /p/*1\nAllow: /p/*11\n"]
+        * len(hosts),
+    }))
+    policy = policy_from_robots(robots)
+    s = crawl(spark, tmp_path / "wd", pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=6))
+    frontier = tables.read_table(spark, tmp_path / "wd", s.last_round, "frontier")
+    from spider_spark.robots import robots_denied
+
+    seen_denied = 0
+    for r in frontier.collect():
+        host = r["url"].split("/")[2]
+        if host not in hosts:
+            continue  # dangling-link host: no policy row ⇒ never denied
+        path = "/" + r["url"].split("/", 3)[-1]
+        if robots_denied(path, ["/p/*11"], ["/p/*1"]):
+            assert r["status"] == "denied", r["url"]
+            seen_denied += 1
+        else:
+            assert r["status"] != "denied", r["url"]
+    assert seen_denied > 0
