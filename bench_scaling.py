@@ -83,24 +83,16 @@ def synth_pages(spark, n_pages: int, n_hosts: int):
     return pages, seeds_df
 
 
-def main() -> None:
-    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+def run_bench(spark) -> dict:
+    """The measured unit, shared with bench_cluster.py: build the
+    Spark-generated corpus (excluded), run BENCH_ROUNDS rounds of frontier
+    work (measured), return {pages, seeds, rounds, urls_done, seconds,
+    urls_per_sec}. Workload parameters come from the BENCH_* env vars so
+    every parallelism level of a pair runs literally identical code+input."""
     n_pages = int(os.environ.get("BENCH_PAGES", "300000"))
     n_hosts = int(os.environ.get("BENCH_HOSTS", "2000"))
     n_seeds = int(os.environ.get("BENCH_SEEDS", "30000"))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
-
-    # AQE off for the round loop: its per-shuffle re-plan barriers add ~35%
-    # latency to a many-small-shuffles iterative job, and the skew it would
-    # fix is already handled by explicit host salting (round.pop_batch). On
-    # a real cluster with 10^8-row rounds, turn it back on — the re-plan
-    # cost amortizes and skew-join splitting is free insurance.
-    os.environ.setdefault("SPIDER_SPARK_DRIVER_MEM", "32g")  # corpus is cached
-    spark = get_spark(
-        app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_MULT", "3")) * cpus,
-        extra_conf={"spark.sql.adaptive.enabled": os.environ.get("BENCH_AQE", "false")},
-    )
     pages, seeds_df = synth_pages(spark, n_pages, n_hosts)
     pages = pages.persist()
     pages.count()  # corpus generation excluded from the measured window
@@ -113,7 +105,7 @@ def main() -> None:
         "robots_deny array<string>, host_budget int",
     )
 
-    workdir = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    workdir = tempfile.mkdtemp(prefix="scale_")
     cfg = CrawlConfig(max_rounds=n_rounds, use_bloom=True, bloom_buckets=32, n_salt=8,
                       seq_mode="hash",
                       partition_frontier=os.environ.get("BENCH_PARTITION", "true") == "true",
@@ -129,11 +121,28 @@ def main() -> None:
     final = tables.read_frontier_resolved(spark, workdir, tables.latest_round(workdir))
     done = final.where(F.col("status") == "done").count()
 
-    print(json.dumps({
-        "cpus": cpus, "pages": n_pages, "seeds": n_seeds, "rounds": n_rounds,
+    return {
+        "pages": n_pages, "seeds": n_seeds, "rounds": n_rounds,
         "urls_done": done, "seconds": round(dt, 2),
         "urls_per_sec": round(done / dt, 2),
-    }))
+    }
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+    # AQE off for the round loop: its per-shuffle re-plan barriers add ~35%
+    # latency to a many-small-shuffles iterative job, and the skew it would
+    # fix is already handled by explicit host salting (round.pop_batch). On
+    # a real cluster with 10^8-row rounds, turn it back on — the re-plan
+    # cost amortizes and skew-join splitting is free insurance.
+    os.environ.setdefault("SPIDER_SPARK_DRIVER_MEM", "32g")  # corpus is cached
+    spark = get_spark(
+        app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_MULT", "3")) * cpus,
+        extra_conf={"spark.sql.adaptive.enabled": os.environ.get("BENCH_AQE", "false")},
+    )
+    print(json.dumps({"cpus": cpus, **run_bench(spark)}))
     spark.stop()
 
 
