@@ -69,6 +69,67 @@ def pagerank(links: DataFrame, alpha: float = 0.9, iters: int = 10) -> DataFrame
     return ranks
 
 
+def hits(links: DataFrame, iters: int = 5) -> DataFrame:
+    """links(src, dst) → (url, hub, auth): Kleinberg HITS, L1-normalized.
+
+    The reference ranks frontier docs by a single PageRank score
+    (master.py:125-149); HITS complements it for crawl scheduling — high-hub
+    pages (directories, sitemaps, link farms) are where new URLs surface, so
+    a hub-weighted pop finds fresh content faster, while auth identifies the
+    pages worth recrawling. Classic alternation:
+
+        auth(v) = Σ_{u→v} hub(u);   hub(u) = Σ_{u→v} auth(v)
+
+    each followed by L1 normalization (sum-normalize, not L2: one aggregate,
+    no sqrt, and the oracle's float path stays identical).
+
+    Scale: per iteration exactly two shuffles (groupBy dst, groupBy src) over
+    the deduped edge set, plus an O(1)-byte scalar collect for the norm —
+    same footprint as pagerank(). Lineage truncated per iteration via
+    localCheckpoint so the plan stays flat at any iteration count. At 10^10
+    edges the hot-dst skew is the same Zipf shape pagerank() handles (AQE
+    skew-split on a cluster; explicit salting not needed since the aggregate
+    is partial-aggregable map-side).
+    """
+    edges = links.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    nodes = edges.select(F.col("src").alias("url")).union(
+        edges.select(F.col("dst").alias("url"))
+    ).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return links.sparkSession.createDataFrame(
+            [], "url string, hub double, auth double")
+
+    scores = nodes.select("url", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth"))
+
+    for _ in range(iters):
+        # auth step: sum incoming hub mass, then L1-normalize
+        a_raw = (
+            edges.join(scores.select("url", "hub"), F.col("src") == F.col("url"))
+            .groupBy("dst").agg(F.sum("hub").alias("a"))
+        )
+        auth = nodes.join(a_raw, F.col("url") == F.col("dst"), "left").select(
+            "url", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
+        a_norm = auth.agg(F.sum("a")).collect()[0][0] or 1.0
+        auth = auth.select("url", (F.col("a") / F.lit(a_norm)).alias("auth"))
+        # hub step: sum outgoing (new) auth mass, then L1-normalize
+        h_raw = (
+            edges.join(auth, F.col("dst") == F.col("url"))
+            .groupBy("src").agg(F.sum("auth").alias("h"))
+        )
+        hub = nodes.join(h_raw, F.col("url") == F.col("src"), "left").select(
+            "url", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
+        h_norm = hub.agg(F.sum("h")).collect()[0][0] or 1.0
+        hub = hub.select("url", (F.col("h") / F.lit(h_norm)).alias("hub"))
+        scores = hub.join(auth, "url").localCheckpoint(eager=False)
+
+    edges.unpersist()
+    nodes.unpersist()
+    return scores
+
+
 def apply_priority(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
     """MERGE ranks into frontier.priority (higher rank ⇒ popped sooner)."""
     return (

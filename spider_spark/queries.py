@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from spider_spark import dedup, kline, media, parse, pool, textops, vectorops, webindex
 from spider_spark.canon import canonical_col, host_col
 from spider_spark.crawl import crawl
-from spider_spark.pagerank import pagerank
+from spider_spark.pagerank import hits, pagerank
 from spider_spark.round import CrawlConfig
 from spider_spark import tables as tbl
 
@@ -2878,6 +2878,63 @@ def pagerank_ranks(spark, sf_dir):
     ).distinct()
     ranks = pagerank(edges, alpha=0.9, iters=5)
     return ranks.select(F.col("url").alias("node"), F.round("rank", 8).alias("rank"))
+
+
+def _hits_oracle(iters: int = 5, edges_sql: str = _LINEITEM_EDGES_SQL) -> str:
+    """Unrolled HITS CTE chain (same device as _pagerank_oracle): per
+    iteration auth-sum → L1-normalize → hub-sum → L1-normalize.
+
+    Every per-iteration CTE is AS MATERIALIZED: each level is referenced
+    several times (the L1-norm scalar subqueries re-read their own level),
+    so inlining would expand to ~8^iters parquet scans — DuckDB literally
+    runs out of file descriptors at iters=5. Materialization keeps the
+    oracle linear in iters, mirroring the engine's per-iteration
+    localCheckpoint."""
+    pre = f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    s0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS hub,
+                       1.0 / (SELECT n FROM nn) AS auth FROM nodes)"""
+    parts = [pre]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    ar{i} AS MATERIALIZED (SELECT e.dst AS url, sum(s.hub) AS a
+              FROM edges e JOIN s{p} s ON s.url = e.src GROUP BY e.dst),
+    a{i} AS MATERIALIZED (SELECT n.url, coalesce(ar.a, 0) AS a
+             FROM nodes n LEFT JOIN ar{i} ar ON ar.url = n.url),
+    aa{i} AS MATERIALIZED (SELECT url, a / (SELECT sum(a) FROM a{i}) AS auth FROM a{i}),
+    hr{i} AS MATERIALIZED (SELECT e.src AS url, sum(aa.auth) AS h
+              FROM edges e JOIN aa{i} aa ON aa.url = e.dst GROUP BY e.src),
+    h{i} AS MATERIALIZED (SELECT n.url, coalesce(hr.h, 0) AS h
+             FROM nodes n LEFT JOIN hr{i} hr ON hr.url = n.url),
+    s{i} AS MATERIALIZED (SELECT h.url, h.h / (SELECT sum(h) FROM h{i}) AS hub, aa.auth
+             FROM h{i} h JOIN aa{i} aa ON aa.url = h.url)""")
+    return (
+        ",".join(parts)
+        + f"\n    SELECT url AS node, round(hub, 8) AS hub, round(auth, 8) AS auth FROM s{iters}"
+    )
+
+
+@q("hits_scores", _hits_oracle())
+def hits_scores(spark, sf_dir):
+    """Kleinberg HITS over the same supplier→part graph as pagerank_ranks:
+    hub scores steer the frontier toward link-rich pages (where new URLs
+    surface), auth scores steer recrawl toward link-endorsed pages —
+    the hub/auth complement to the reference's single-score
+    reprioritization (master.py:125-149). Oracle = unrolled CTE chain."""
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("string").alias("src"),
+        (F.col("l_partkey") % 100).cast("string").alias("dst"),
+    ).distinct()
+    scores = hits(edges, iters=5)
+    return scores.select(
+        F.col("url").alias("node"),
+        F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    )
 
 
 # ---------------------------------------------------------------- the crawl

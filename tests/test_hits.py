@@ -1,0 +1,40 @@
+"""HITS hub/authority scores (pagerank.hits) on graphs with known structure."""
+
+from __future__ import annotations
+
+from spider_spark.pagerank import hits
+
+
+def _scores(spark, edges, iters=5):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["url"]: (r["hub"], r["auth"]) for r in hits(df, iters=iters).collect()}
+
+
+def test_hits_star_graph(spark):
+    """h → {a, b, c}: h is the sole hub (hub=1), targets split auth evenly."""
+    s = _scores(spark, [("h", "a"), ("h", "b"), ("h", "c")])
+    assert abs(s["h"][0] - 1.0) < 1e-9
+    assert abs(s["h"][1]) < 1e-9
+    for t in ("a", "b", "c"):
+        assert abs(s[t][1] - 1.0 / 3) < 1e-9
+        assert abs(s[t][0]) < 1e-9
+
+
+def test_hits_popular_target_beats_obscure(spark):
+    """Two hubs endorse 'pop', one endorses 'rare' ⇒ auth(pop) > auth(rare),
+    and the hub pointing at both pop+rare outranks the pop-only hub."""
+    s = _scores(spark, [("u1", "pop"), ("u2", "pop"), ("u2", "rare")])
+    assert s["pop"][1] > s["rare"][1]
+    assert s["u2"][0] > s["u1"][0]
+
+
+def test_hits_l1_normalized(spark):
+    """Hub and auth vectors each sum to 1 after every run."""
+    s = _scores(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    assert abs(sum(v[0] for v in s.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in s.values()) - 1.0) < 1e-9
+
+
+def test_hits_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert hits(df, iters=2).count() == 0

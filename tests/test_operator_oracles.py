@@ -33,6 +33,7 @@ SUBSET = [
     "gold_cross_volume",  # round 2: composed window screen
     "curate_corpus",      # round 2: full composed curation pipeline
     "line_dedup_boilerplate",  # round 2: cross-doc line dedup
+    "hits_scores",        # round 2: HITS hub/auth over the link graph
 ]
 
 
