@@ -237,3 +237,68 @@ def dsir_weights(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("lr"), 6).alias("dsir_weight"),
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_domains: DataFrame,
+    blocked_terms: list[str],
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_ratio: float = 0.0,
+) -> DataFrame:
+    """UT1-style domain + word blocklist gate (the standard public-blocklist
+    filter every web-text pipeline runs — cf. RefinedWeb/FineWeb pipelines;
+    UT1 is the Université Toulouse 1 public blocklist).
+
+    Returns docs + (domain_blocked, n_bad_terms, bad_ratio, keep).
+
+    - ``blocked_domains`` (DataFrame, one ``domain`` column) match by DNS
+      suffix: ``d3.com`` blocks ``d3.com`` AND ``w.d3.com``. Instead of a
+      LIKE-join (cross product at scale), each host explodes into its ≤~10
+      label suffixes and equi-joins the blocklist — broadcast at the ~10^6
+      rows real blocklists have, a plain shuffled semi-join beyond that.
+    - ``blocked_terms`` (Python list) ship as an InSet literal INTO codegen:
+      occurrences are counted by an array filter on the token array —
+      map-only, no shuffle, no UDF.
+
+    The one shuffle in the whole gate is the suffix semi-join; term
+    counting, ratio, and the keep verdict are a single codegen'd pass.
+    """
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    sfx = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n)),
+    )
+    bl = F.broadcast(blocked_domains.select(F.col("domain").alias("_sfx")).distinct())
+    hit_ids = (
+        docs.select(id_col, F.explode(sfx).alias("_sfx"))
+        .join(bl, "_sfx", "left_semi")
+        .select(id_col).distinct()
+        .withColumn("_dom_hit", F.lit(True))
+    )
+    toks = textops.tokens_col(F.lower(F.col(text_col)))
+    terms = [t.lower() for t in blocked_terms]
+    out = (
+        docs.join(hit_ids, id_col, "left")
+        .withColumn("_toks", toks)
+        .withColumn(
+            "n_bad_terms",
+            F.size(F.filter(F.col("_toks"), lambda t: t.isin(*terms))).cast("long"),
+        )
+        .withColumn(
+            "bad_ratio",
+            F.when(F.size("_toks") > 0,
+                   F.col("n_bad_terms") / F.size("_toks")).otherwise(F.lit(0.0)),
+        )
+        .withColumn("domain_blocked", F.coalesce(F.col("_dom_hit"), F.lit(False)))
+        .withColumn(
+            "keep",
+            ~F.col("domain_blocked") & (F.col("bad_ratio") <= F.lit(max_bad_ratio)),
+        )
+        .drop("_dom_hit", "_toks")
+    )
+    return out

@@ -130,6 +130,81 @@ def hits(links: DataFrame, iters: int = 5) -> DataFrame:
     return scores
 
 
+def trustrank(links: DataFrame, trusted: DataFrame,
+              alpha: float = 0.85, iters: int = 5) -> DataFrame:
+    """links(src, dst) × trusted(url) → (url, rank): personalized PageRank
+    with the teleport vector restricted to a trusted seed set
+    (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web Spam with
+    TrustRank", VLDB 2004 — public paper).
+
+    Why a crawler wants it: plain PageRank (the reference's single
+    reprioritization signal, master.py:125-149) is gameable — link farms
+    accumulate rank from anywhere. TrustRank mass can ONLY enter through
+    the seed set and decays with distance from it, so pages unreachable
+    from trusted hosts score ~0 no matter how densely they interlink.
+    ``rank_pagerank / rank_trustrank`` ratios flag spam for crawl-tier
+    demotion; ``apply_priority`` accepts the output unchanged.
+
+        t = (1-α)·d + α·(Mᵀt + dangling_mass·d),   d = 1{url∈S}/|S|
+
+    Dangling mass teleports through d too (consistent personalization —
+    mass never leaks to untrusted nodes via dead ends).
+
+    Scale: identical footprint to pagerank() — one groupBy(dst) shuffle +
+    one outdeg join per iteration, an O(1)-byte scalar collect for the
+    dangling mass, lineage cut per iteration. The seed indicator join is
+    computed once, outside the loop.
+    """
+    edges = links.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    nodes = edges.select(F.col("src").alias("url")).union(
+        edges.select(F.col("dst").alias("url"))
+    ).distinct()
+    seeds = trusted.select(F.col(trusted.columns[0]).alias("url")).distinct()
+    # teleport vector d, materialized once: indicator/|S∩V| per node
+    base = nodes.join(seeds.withColumn("_s", F.lit(1)), "url", "left").select(
+        "url", F.coalesce(F.col("_s"), F.lit(0)).alias("_s")).persist()
+    n_seeds = base.agg(F.sum("_s")).collect()[0][0] or 0
+    if n_seeds == 0:
+        edges.unpersist()
+        base.unpersist()
+        # no trusted node appears in the graph: nothing is reachable
+        return base.select("url", F.lit(0.0).alias("rank"))
+    d_vec = base.select("url", (F.col("_s") / F.lit(float(n_seeds))).alias("d"))
+    d_vec = d_vec.persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    ranks = d_vec.select("url", F.col("d").alias("rank"))
+
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.url, "inner")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("url"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("url")
+            .agg(F.sum("c").alias("received"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.url == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = d_vec.join(contribs, "url", "left").select(
+            "url",
+            (
+                F.lit(1.0 - alpha) * F.col("d")
+                + F.lit(alpha) * (F.coalesce(F.col("received"), F.lit(0.0))
+                                  + F.lit(dangling) * F.col("d"))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+
+    edges.unpersist()
+    base.unpersist()
+    d_vec.unpersist()
+    outdeg.unpersist()
+    return ranks
+
+
 def apply_priority(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
     """MERGE ranks into frontier.priority (higher rank ⇒ popped sooner)."""
     return (

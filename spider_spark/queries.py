@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from spider_spark import dedup, kline, media, parse, pool, textops, vectorops, webindex
 from spider_spark.canon import canonical_col, host_col
 from spider_spark.crawl import crawl
-from spider_spark.pagerank import hits, pagerank
+from spider_spark.pagerank import hits, pagerank, trustrank
 from spider_spark.round import CrawlConfig
 from spider_spark import tables as tbl
 
@@ -2866,6 +2866,62 @@ def _pagerank_oracle(iters: int = 5, alpha: float = 0.9,
     )
 
 
+def _trustrank_oracle(iters: int = 5, alpha: float = 0.85,
+                      edges_sql: str = _LINEITEM_EDGES_SQL) -> str:
+    """Unrolled TrustRank CTE chain: teleport vector restricted to the
+    trusted set (single-character node labels — deterministic on both
+    sides), dangling mass teleported through the same vector. MATERIALIZED
+    per level like _hits_oracle (each level is referenced 3×/iteration)."""
+    pre = f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+    outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    dd AS MATERIALIZED (SELECT url,
+        (CASE WHEN length(url) = 1 THEN 1.0 ELSE 0.0 END)
+        / (SELECT count(*) FROM nodes WHERE length(url) = 1)::DOUBLE AS d
+        FROM nodes),
+    t0 AS MATERIALIZED (SELECT url, d AS rank FROM dd)"""
+    parts = [pre]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    c{i} AS MATERIALIZED (SELECT e.dst AS url, sum(t.rank / o.od) AS received
+             FROM edges e JOIN t{p} t ON t.url = e.src JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    g{i} AS MATERIALIZED (SELECT coalesce(sum(t.rank), 0) AS g FROM t{p} t
+             WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = t.url)),
+    t{i} AS MATERIALIZED (SELECT dd.url,
+                    (1 - {alpha}) * dd.d
+                    + {alpha} * (coalesce(c.received, 0) + (SELECT g FROM g{i}) * dd.d)
+                      AS rank
+             FROM dd LEFT JOIN c{i} c ON c.url = dd.url)""")
+    return (
+        ",".join(parts)
+        + f"\n    SELECT url AS node, round(rank, 8) AS rank FROM t{iters}"
+    )
+
+
+@q("trustrank_scores", _trustrank_oracle())
+def trustrank_scores(spark, sf_dir):
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the same supplier→part
+    graph as pagerank_ranks, trusted seed set = single-character node
+    labels: rank mass enters ONLY through the seeds and decays with link
+    distance, so link farms unreachable from trusted hosts score ~0 —
+    the spam-demotion complement to the reference's single PageRank
+    reprioritization signal (master.py:125-149). Oracle = unrolled
+    materialized CTE chain."""
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("string").alias("src"),
+        (F.col("l_partkey") % 100).cast("string").alias("dst"),
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("url")).union(
+        edges.select(F.col("dst").alias("url"))).distinct()
+    trusted = nodes.where(F.length("url") == 1)
+    ranks = trustrank(edges, trusted, alpha=0.85, iters=5)
+    return ranks.select(F.col("url").alias("node"), F.round("rank", 8).alias("rank"))
+
+
 @q("pagerank_ranks", _pagerank_oracle())
 def pagerank_ranks(spark, sf_dir):
     """A6 done right (master.py:125-149 semantics, working implementation):
@@ -3443,3 +3499,106 @@ def dsir_weights(spark, sf_dir):
     return curation.dsir_weights(
         d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0)
     )
+
+
+_ALIAS_EDGES_SQL = """
+    SELECT 'n' || l_orderkey AS src, 'n' || (l_orderkey + 1) AS dst
+    FROM lineitem WHERE l_orderkey % 5 <> 0
+    UNION ALL
+    SELECT 'c' || r_regionkey, 'c' || ((r_regionkey + 1) % 5) FROM region"""
+
+
+@q(
+    "redirect_resolve",
+    f"""
+    WITH RECURSIVE am AS MATERIALIZED (
+      SELECT src, min(dst) AS dst FROM ({_ALIAS_EDGES_SQL}) GROUP BY src),
+    walk AS (
+      SELECT src AS url, dst AS cur, 1 AS hops FROM am
+      UNION ALL
+      SELECT w.url, a.dst, w.hops + 1 FROM walk w JOIN am a ON a.src = w.cur
+      WHERE w.hops < 32),
+    last AS (
+      SELECT url, cur, hops FROM (
+        SELECT *, row_number() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+        FROM walk) WHERE rn = 1)
+    SELECT l.url,
+           CASE WHEN a.src IS NULL THEN l.cur END AS target,
+           (CASE WHEN a.src IS NULL THEN l.hops END)::BIGINT AS hops,
+           a.src IS NULL AS resolved
+    FROM last l LEFT JOIN am a ON a.src = l.cur
+    """,
+)
+def redirect_resolve(spark, sf_dir):
+    """Redirect / rel=canonical chain collapse (webindex.resolve_aliases):
+    alias edges n<k>→n<k+1> over sparse orderkeys form short chains with
+    natural terminals; the region table plants a 5-cycle c0→…→c4→c0 that
+    must come back resolved=false. Engine = 5 pointer-doubling self-joins
+    (⌈log₂ 32⌉); oracle = recursive CTE walking one hop at a time with the
+    same 32-hop cap — the log-vs-linear contrast IS the scale argument."""
+    li = T(spark, sf_dir, "lineitem")
+    rg = T(spark, sf_dir, "region")
+    edges = (
+        li.where(F.col("l_orderkey") % 5 != 0)
+        .select(
+            F.concat(F.lit("n"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("l_orderkey") + 1).alias("dst"),
+        )
+        .unionAll(
+            rg.select(
+                F.concat(F.lit("c"), F.col("r_regionkey")).alias("src"),
+                F.concat(F.lit("c"), (F.col("r_regionkey") + 1) % 5).alias("dst"),
+            )
+        )
+    )
+    return webindex.resolve_aliases(edges, max_hops=32)
+
+
+_SQL_LTOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+
+@q(
+    "blocklist_gate",
+    f"""
+    WITH d AS (SELECT doc_id, text,
+            'w' || (doc_id % 5) || '.d' || (doc_id % 23) || '.com' AS host
+            FROM documents),
+    bl(domain) AS (VALUES ('d3.com'), ('d7.com'), ('w1.d11.com')),
+    t AS (SELECT doc_id, host, {_SQL_LTOKENS} AS toks,
+                 EXISTS (SELECT 1 FROM bl
+                         WHERE d.host = bl.domain
+                            OR d.host LIKE '%.' || bl.domain) AS domain_blocked
+          FROM d),
+    s AS (SELECT doc_id, host, domain_blocked,
+                 len(list_filter(toks, x -> x IN ('slow', 'hash')))::BIGINT AS n_bad_terms,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN ('slow', 'hash'))) / len(toks)
+                      ELSE 0.0 END AS raw_ratio
+          FROM t)
+    SELECT doc_id, host, domain_blocked, n_bad_terms,
+           round(raw_ratio, 6) AS bad_ratio,
+           (NOT domain_blocked AND raw_ratio <= 0.02::DOUBLE) AS keep
+    FROM s
+    """,
+)
+def blocklist_gate(spark, sf_dir):
+    """UT1-style domain+term blocklist gate (curation.blocklist_filter):
+    hosts synthesized from doc_id get suffix-matched against a 3-domain
+    blocklist via the suffix-explode equi-join (LIKE-free — the only join
+    shape that survives a 10^6-domain list at 10^10 docs), bad-term
+    occurrences counted by an InSet array filter inside codegen (no
+    shuffle, no UDF). keep = unblocked domain AND bad ratio ≤ 2%."""
+    from spider_spark import curation
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.concat(F.lit("w"), F.col("doc_id") % 5, F.lit(".d"),
+                 F.col("doc_id") % 23, F.lit(".com")).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("d3.com",), ("d7.com",), ("w1.d11.com",)], "domain string")
+    out = curation.blocklist_filter(
+        d, bl, ["slow", "hash"], max_bad_ratio=0.02)
+    return out.select(
+        "doc_id", "host", "domain_blocked", "n_bad_terms",
+        F.round("bad_ratio", 6).alias("bad_ratio"), "keep")

@@ -233,3 +233,60 @@ def lookup_captures(spark, path: str, urlkey: str, n_buckets: int = 16) -> DataF
         args=[urlkey, n_buckets],
     ).head()[0]
     return df.where((F.col("kb") == kb) & (F.col("urlkey") == urlkey)).drop("kb")
+
+
+# ------------------------------------------------------- alias resolution
+def resolve_aliases(aliases: DataFrame, max_hops: int = 32) -> DataFrame:
+    """aliases(src, dst) → (url, target, hops, resolved): collapse redirect /
+    rel=canonical chains to their terminal target by pointer doubling.
+
+    Why a crawler needs it: 3xx chains and ``<link rel=canonical>`` mean the
+    same resource lives under many URLs; dedup, CDX grouping, and link-graph
+    ranking all want edges rewritten onto the terminal URL. The reference
+    follows redirects implicitly inside requests and never records the
+    mapping; at archive scale the mapping IS a table and resolving it is a
+    graph op.
+
+    Pointer doubling (path halving): each round joins the state with itself
+    (``next' = state[next].next``, hops add), so a chain of length L resolves
+    in ⌈log₂ L⌉ self-joins instead of L sequential joins — at 10^9 alias rows
+    that is 5 shuffles for 32-hop chains, each an equi-join on the next
+    pointer. Multi-edges collapse deterministically to min(dst) first.
+    Chains longer than max_hops and cycles (a→b→a never reaches a terminal)
+    come back ``resolved=false`` with NULL target/hops — the honest label,
+    since pointer doubling cannot tell the two apart without walking further.
+    Lineage is cut per round via localCheckpoint like pagerank's loop.
+    """
+    base = aliases.groupBy(F.col("src").alias("url")).agg(
+        F.min("dst").alias("next")).persist()
+    state = base.withColumn("hops", F.lit(1).cast("long"))
+    rounds = max(1, (max_hops - 1).bit_length())  # 2^rounds >= max_hops
+    for _ in range(rounds):
+        nxt = state.select(F.col("url").alias("n_url"),
+                           F.col("next").alias("n_next"),
+                           F.col("hops").alias("n_hops"))
+        state = (
+            state.join(nxt, state.next == nxt.n_url, "left")
+            .select(
+                "url",
+                F.coalesce("n_next", "next").alias("next"),
+                F.when(F.col("n_next").isNotNull(),
+                       F.col("hops") + F.col("n_hops"))
+                .otherwise(F.col("hops")).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    dom = base.select(F.col("url").alias("d_url"))
+    out = (
+        state.join(dom, state.next == dom.d_url, "left")
+        .select(
+            "url",
+            F.when(F.col("d_url").isNull() & (F.col("hops") <= max_hops),
+                   F.col("next")).alias("target"),
+            F.when(F.col("d_url").isNull() & (F.col("hops") <= max_hops),
+                   F.col("hops")).alias("hops"),
+            (F.col("d_url").isNull() & (F.col("hops") <= max_hops)).alias("resolved"),
+        )
+    )
+    base.unpersist()
+    return out

@@ -34,6 +34,9 @@ SUBSET = [
     "curate_corpus",      # round 2: full composed curation pipeline
     "line_dedup_boilerplate",  # round 2: cross-doc line dedup
     "hits_scores",        # round 2: HITS hub/auth over the link graph
+    "trustrank_scores",   # round 2: seeded-teleport spam demotion
+    "redirect_resolve",   # round 2: pointer-doubling alias collapse
+    "blocklist_gate",     # round 2: UT1-style domain+term blocklist
 ]
 
 

@@ -496,3 +496,36 @@ def test_dup_passage_spans_planted_truth(spark, tmp_path):
         (0, 3, 12, 10), (0, 14, 21, 8),
         (1, 2, 11, 10), (1, 15, 22, 8),
     }
+
+
+# ------------------------------------------------------- blocklist_filter
+def test_blocklist_suffix_semantics(spark):
+    """Suffix match is label-aligned: 'd3.com' blocks itself and
+    subdomains, but NOT 'ad3.com' (a LIKE '%d3.com' would)."""
+    from spider_spark.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "d3.com", "fine text"), (2, "w.d3.com", "fine text"),
+         (3, "ad3.com", "fine text"), (4, "ok.org", "fine text")],
+        "doc_id long, host string, text string")
+    bl = spark.createDataFrame([("d3.com",)], "domain string")
+    out = {r["doc_id"]: r["domain_blocked"]
+           for r in blocklist_filter(docs, bl, []).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_blocklist_term_ratio_gate(spark):
+    """Occurrences (not distinct terms) count; ratio gates keep."""
+    from spider_spark.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "a.org", "bad bad good good good good good good good good"),
+         (2, "a.org", "all clean words here"),
+         (3, "a.org", "")],
+        "doc_id long, host string, text string")
+    bl = spark.createDataFrame([], "domain string")
+    rows = {r["doc_id"]: r for r in
+            blocklist_filter(docs, bl, ["BAD"], max_bad_ratio=0.25).collect()}
+    assert rows[1]["n_bad_terms"] == 2 and rows[1]["keep"]  # 0.2 <= 0.25
+    assert rows[2]["n_bad_terms"] == 0 and rows[2]["keep"]
+    assert rows[3]["bad_ratio"] == 0.0 and rows[3]["keep"]

@@ -143,3 +143,38 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     out = {r.doc_id: r.dsir_weight
            for r in curation.dsir_weights(pool, target).collect()}
     assert out[1] > out[2]  # target-like doc gets the higher weight
+
+
+# ------------------------------------------------------- resolve_aliases
+def _resolve(spark, edges, **kw):
+    from spider_spark.webindex import resolve_aliases
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["url"]: (r["target"], r["hops"], r["resolved"])
+            for r in resolve_aliases(df, **kw).collect()}
+
+
+def test_resolve_chain_exact_hops(spark):
+    out = _resolve(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert out == {"a": ("d", 3, True), "b": ("d", 2, True), "c": ("d", 1, True)}
+
+
+def test_resolve_cycles_flagged_unresolved(spark):
+    out = _resolve(spark, [("x", "y"), ("y", "x"), ("s", "s")])
+    assert out["x"] == (None, None, False)
+    assert out["y"] == (None, None, False)
+    assert out["s"] == (None, None, False)
+
+
+def test_resolve_multi_edge_min_dst(spark):
+    out = _resolve(spark, [("m", "n"), ("m", "zzz")])
+    assert out["m"] == ("n", 1, True)
+
+
+def test_resolve_over_cap_chain_unresolved(spark):
+    """A 10-hop chain with max_hops=4: heads too deep are unresolved,
+    tails within reach resolve with exact hop counts."""
+    edges = [(f"u{i}", f"u{i+1}") for i in range(10)]
+    out = _resolve(spark, edges, max_hops=4)
+    assert out["u0"] == (None, None, False)
+    assert out["u6"] == ("u10", 4, True)
+    assert out["u9"] == ("u10", 1, True)
