@@ -101,3 +101,60 @@ def frame_sample_plan(media: DataFrame, every_n: int,
         F.col(id_col).alias("media_id"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),
     )
+
+
+# ----------------------------------------------------- content-type sniffing
+#: magic-byte verdict → the MIME type an honest server would declare
+MAGIC_MIME = {
+    "pdf": "application/pdf", "png": "image/png", "jpeg": "image/jpeg",
+    "gif": "image/gif", "gzip": "application/gzip", "zip": "application/zip",
+    "webm": "video/webm", "mp3": "audio/mpeg", "webp": "image/webp",
+    "mp4": "video/mp4", "html": "text/html",
+}
+
+
+def sniff_type_col(payload) -> "F.Column":
+    """Magic-byte content sniffing, pure JVM (hex-prefix CASE inside
+    codegen — no UDF, no decode): the crawl-side router that decides
+    parse-vs-media-vs-skip BEFORE trusting the server's Content-Type.
+    Servers lie (the classic crawl QA signal is sniffed≠declared);
+    signatures are the public file-magic constants. Binary-safe: never
+    casts payload to string (ANSI would throw on non-UTF-8 bytes)."""
+    hx = F.hex(F.substring(payload, 1, 12))
+    return (
+        F.when(hx.startswith("25504446"), "pdf")
+        .when(hx.startswith("89504E47"), "png")
+        .when(hx.startswith("FFD8FF"), "jpeg")
+        .when(hx.startswith("47494638"), "gif")
+        .when(hx.startswith("1F8B"), "gzip")
+        .when(hx.startswith("504B0304"), "zip")
+        .when(hx.startswith("1A45DFA3"), "webm")
+        .when(hx.startswith("494433"), "mp3")
+        .when(
+            (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(b"WEBP")), "webp")
+        .when(F.substring(payload, 5, 4) == F.lit(b"ftyp"), "mp4")
+        .when(hx.startswith("3C"), "html")  # '<' first byte
+        .otherwise("unknown")
+    )
+
+
+def declared_mime_col(content_type) -> "F.Column":
+    """'Text/HTML ; charset=...' → 'text/html' (lowercased, params dropped)."""
+    return F.lower(F.trim(F.split(content_type, ";")[0]))
+
+
+def declared_charset_col(content_type) -> "F.Column":
+    """charset parameter, lowercased; NULL when absent (quotes tolerated)."""
+    cs = F.regexp_extract(F.lower(content_type), r'charset\s*=\s*"?([a-z0-9_\-]+)', 1)
+    return F.when(cs != "", cs)
+
+
+def type_mismatch_col(sniffed, declared_mime) -> "F.Column":
+    """True when the bytes contradict the header — sniffed maps to a known
+    MIME and the server declared something else. 'unknown' bytes never
+    mismatch (no evidence)."""
+    expected = F.lit(None).cast("string")
+    for k, v in sorted(MAGIC_MIME.items()):
+        expected = F.when(sniffed == k, v).otherwise(expected)
+    return expected.isNotNull() & (expected != declared_mime)

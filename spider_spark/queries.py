@@ -3602,3 +3602,63 @@ def blocklist_gate(spark, sf_dir):
     return out.select(
         "doc_id", "host", "domain_blocked", "n_bad_terms",
         F.round("bad_ratio", 6).alias("bad_ratio"), "keep")
+
+
+_SNIFF_PLANTS = [
+    # (prefix_hex, declared_header_noisy, mime_truth, charset_truth, sniffed_truth, mismatch)
+    ("255044462D", "application/pdf", "application/pdf", None, "pdf", False),
+    ("89504E470D0A1A0A", "Image/JPEG", "image/jpeg", None, "png", True),
+    ("FFD8FFE0", " image/jpeg ", "image/jpeg", None, "jpeg", False),
+    ("1F8B08", "application/octet-stream", "application/octet-stream", None, "gzip", True),
+    ("3C21646F63747970", ' Text/HTML ; charset="GB18030"', "text/html", "gb18030", "html", False),
+    ("52494646AABBCCDD57454250", "image/webp", "image/webp", None, "webp", False),
+    ("0000001866747970", "video/mp4", "video/mp4", None, "mp4", False),
+    ("00112233", "application/octet-stream", "application/octet-stream", None, "unknown", False),
+]
+
+_SNIFF_ORACLE = (
+    "SELECT doc_id,\n"
+    + "  CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN '{p[4]}'" for i, p in enumerate(_SNIFF_PLANTS))
+    + " END AS sniffed,\n"
+    + "  CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN '{p[2]}'" for i, p in enumerate(_SNIFF_PLANTS))
+    + " END AS mime,\n"
+    + "  CASE doc_id % 8 "
+    + " ".join(
+        f"WHEN {i} THEN " + (f"'{p[3]}'" if p[3] else "NULL")
+        for i, p in enumerate(_SNIFF_PLANTS))
+    + " END AS charset,\n"
+    + "  CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN {str(p[5]).lower()}" for i, p in enumerate(_SNIFF_PLANTS))
+    + " END AS mismatch\n"
+    + "FROM documents"
+)
+
+
+@q("content_sniff", _SNIFF_ORACLE)
+def content_sniff(spark, sf_dir):
+    """Magic-byte sniffing vs declared Content-Type (media.sniff_type_col /
+    declared_*_col / type_mismatch_col): payloads are built by prepending 8
+    planted file signatures (pdf/png/jpeg/gzip/html/webp/mp4/garbage) to the
+    document bytes; headers carry case/whitespace/quoting noise and two
+    deliberate lies (png served as image/jpeg, gzip as octet-stream). The
+    oracle states the PLANTED truth — the engine must recover it from raw
+    bytes and the noisy header, entirely in codegen (no UDF, no string cast
+    of the payload)."""
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    px, ct = F.lit(None).cast("string"), F.lit(None).cast("string")
+    for i, p in enumerate(_SNIFF_PLANTS):
+        px = F.when(m == i, p[0]).otherwise(px)
+        ct = F.when(m == i, p[1]).otherwise(ct)
+    payload = F.concat(F.unhex(px), F.encode(F.col("text"), "UTF-8"))
+    sniffed = media.sniff_type_col(payload)
+    mime = media.declared_mime_col(ct)
+    return d.select(
+        "doc_id",
+        sniffed.alias("sniffed"),
+        mime.alias("mime"),
+        media.declared_charset_col(ct).alias("charset"),
+        media.type_mismatch_col(sniffed, mime).alias("mismatch"),
+    )

@@ -37,6 +37,7 @@ SUBSET = [
     "trustrank_scores",   # round 2: seeded-teleport spam demotion
     "redirect_resolve",   # round 2: pointer-doubling alias collapse
     "blocklist_gate",     # round 2: UT1-style domain+term blocklist
+    "content_sniff",      # round 2: magic-byte vs declared Content-Type
 ]
 
 

@@ -529,3 +529,39 @@ def test_blocklist_term_ratio_gate(spark):
     assert rows[1]["n_bad_terms"] == 2 and rows[1]["keep"]  # 0.2 <= 0.25
     assert rows[2]["n_bad_terms"] == 0 and rows[2]["keep"]
     assert rows[3]["bad_ratio"] == 0.0 and rows[3]["keep"]
+
+
+# --------------------------------------------------------- content sniffing
+def test_sniff_edge_payloads(spark):
+    """Short/empty payloads, RIFF-but-not-WEBP, and honest-vs-lying headers."""
+    from spider_spark import media
+
+    rows = [
+        (1, b""),                          # empty -> unknown
+        (2, b"\x1f"),                      # 1 byte, gzip prefix incomplete
+        (3, b"RIFFxxxxWAVE"),              # RIFF but WAVE, not WEBP
+        (4, b"ID3\x04rest"),               # mp3
+        (5, b"GIF89a..."),                 # gif
+        (6, b"<html><body>"),              # bare html, no doctype
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r["s"] for r in df.select(
+        "id", media.sniff_type_col(F.col("payload")).alias("s")).collect()}
+    assert out == {1: "unknown", 2: "unknown", 3: "unknown",
+                   4: "mp3", 5: "gif", 6: "html"}
+
+
+def test_declared_type_parsing_and_mismatch(spark):
+    from spider_spark import media
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n", "IMAGE/PNG;charset=utf-8"),
+         (2, b"\x89PNG\r\n\x1a\n", "text/plain"),
+         (3, b"zzzz", "text/plain")],
+        "id long, payload binary, ct string")
+    s = media.sniff_type_col(F.col("payload"))
+    mm = media.type_mismatch_col(s, media.declared_mime_col(F.col("ct")))
+    cs = media.declared_charset_col(F.col("ct"))
+    out = {r["id"]: (r["m"], r["c"]) for r in
+           df.select("id", mm.alias("m"), cs.alias("c")).collect()}
+    assert out == {1: (False, "utf-8"), 2: (True, None), 3: (False, None)}

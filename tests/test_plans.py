@@ -58,3 +58,21 @@ def test_round_policy_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in e or "BroadcastExchange" in e
     for df in res.cached:
         df.unpersist()
+
+
+def test_blocklist_single_exchange_and_broadcast(spark):
+    """The whole gate is one shuffle (suffix semi-join distinct); the
+    domain list broadcasts; term counting is codegen'd (no PythonUDF)."""
+    e = explain(QUERIES["blocklist_gate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in e, "domain list must broadcast"
+    assert "CartesianProduct" not in e and "BroadcastNestedLoopJoin" not in e
+    assert "ArrowEvalPython" not in e and "BatchEvalPython" not in e, \
+        "term counting must stay JVM-side"
+
+
+def test_redirect_resolve_no_cartesian_no_python(spark):
+    """Pointer doubling is equi-joins only — a LIKE/theta shape would
+    appear as a nested-loop join."""
+    e = explain(QUERIES["redirect_resolve"](spark, SF_DIR))
+    assert "CartesianProduct" not in e and "BroadcastNestedLoopJoin" not in e
+    assert "PythonUDF" not in e
