@@ -142,3 +142,59 @@ def url_hash_col(url: Column) -> Column:
 
 def url_md5_col(url: Column) -> Column:
     return F.md5(url)
+
+
+# --------------------------------------------------- registrable domain (PSL)
+#: Embedded subset of the Public Suffix List (publicsuffix.org — public data).
+#: Real crawlers scope politeness, trap caps, and dedup keys per REGISTRABLE
+#: domain (eTLD+1), not per host: every *.blogspot.com subdomain is one
+#: operator. Wildcard (*.ck) and exception (!www.ck) PSL rules are not in
+#: this subset; swap in the full list via the `psl` parameter unchanged.
+DEFAULT_PSL = [
+    "com", "net", "org", "edu", "gov", "mil", "int", "io", "co", "ai",
+    "info", "biz", "dev", "app", "xyz", "us", "uk", "cn", "jp", "de",
+    "fr", "ru", "br", "in", "au", "ca", "it", "nl", "es", "se",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "com.br", "net.br",
+    "co.in", "firm.in", "co.kr", "or.kr",
+    # private-registry suffixes (PSL PRIVATE section — each subdomain is an
+    # independent operator):
+    "github.io", "blogspot.com", "herokuapp.com", "s3.amazonaws.com",
+]
+
+
+def registrable_domain_col(host: Column, psl: list[str] | None = None) -> Column:
+    """host → eTLD+1 by longest-suffix match against the PSL, pure JVM.
+
+    The PSL ships as an InSet literal into codegen (like the blocklist
+    gate's term list) — no join, no shuffle, no UDF; at the full ~9k-rule
+    list Catalyst still folds the membership test to an InSet hash probe.
+    Suffixes are generated longest-first, so the FIRST match is the longest
+    public suffix; eTLD+1 is the label before it joined back on.
+
+    Edge rules (PSL algorithm, publicsuffix.org/list/):
+    - host IS a public suffix exactly → NULL (no registrable domain);
+    - no rule matches → implicit `*` rule: eTLD is the last label, so
+      eTLD+1 = last two labels (single-label hosts → NULL).
+    """
+    rules = psl if psl is not None else DEFAULT_PSL
+    labs = F.split(host, r"\.")
+    n = F.size(labs)
+    sfx = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labs, i, n)),
+    )
+    # 1-based index of the longest (= first) suffix that is a public suffix
+    idx = F.array_min(
+        F.filter(
+            F.transform(sfx, lambda s, i: F.when(s.isin(*rules), i + 1)),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        F.when(idx.isNull() & (n >= 2), F.concat_ws(".", F.slice(labs, n - 1, 2)))
+        .when(idx > 1, F.element_at(sfx, (idx - 1).cast("int")))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -3662,3 +3662,110 @@ def content_sniff(spark, sf_dir):
         media.declared_charset_col(ct).alias("charset"),
         media.type_mismatch_col(sniffed, mime).alias("mismatch"),
     )
+
+
+def _psl_oracle() -> str:
+    from spider_spark.canon import DEFAULT_PSL
+
+    psl = ", ".join(f"'{s}'" for s in DEFAULT_PSL)
+    return f"""
+    WITH d AS (SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN 'www.s' || (doc_id % 50) || '.co.uk'
+          WHEN 1 THEN 's' || (doc_id % 50) || '.com'
+          WHEN 2 THEN 'co.uk'
+          WHEN 3 THEN 'u' || (doc_id % 50) || '.github.io'
+          WHEN 4 THEN 'localhost'
+          WHEN 5 THEN 'a.b.s' || (doc_id % 50) || '.blogspot.com'
+          ELSE 's' || (doc_id % 50) || '.weird' || (doc_id % 9)
+        END AS host FROM documents),
+    l AS (SELECT doc_id, host, string_split(host, '.') AS labs FROM d),
+    s AS (SELECT doc_id, i, array_to_string(labs[i:len(labs)], '.') AS sfx
+          FROM l, unnest(generate_series(1, len(labs))) AS t(i)),
+    m AS (SELECT doc_id, min(i) AS mi FROM s WHERE sfx IN ({psl}) GROUP BY doc_id)
+    SELECT l.doc_id, l.host,
+      CASE WHEN m.mi IS NULL AND len(labs) >= 2
+               THEN array_to_string(labs[len(labs)-1:len(labs)], '.')
+           WHEN m.mi > 1 THEN array_to_string(labs[m.mi-1:len(labs)], '.')
+           ELSE NULL END AS rdomain
+    FROM l LEFT JOIN m USING (doc_id)
+    """
+
+
+@q("registrable_domains", _psl_oracle())
+def registrable_domains(spark, sf_dir):
+    """eTLD+1 extraction (canon.registrable_domain_col): politeness, trap
+    caps, and per-operator dedup scope by REGISTRABLE domain — every
+    *.blogspot.com subdomain is one operator (PSL private section), while
+    `co.uk` itself registers nothing. Engine = InSet longest-suffix match
+    in codegen (no join); oracle = independent min-index suffix join over
+    the same embedded PSL subset. Hosts cover all five PSL edge rules."""
+    from spider_spark.canon import registrable_domain_col
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    k = F.col("doc_id") % 50
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.s"), k, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("s"), k, F.lit(".com")))
+        .when(m == 2, F.lit("co.uk"))
+        .when(m == 3, F.concat(F.lit("u"), k, F.lit(".github.io")))
+        .when(m == 4, F.lit("localhost"))
+        .when(m == 5, F.concat(F.lit("a.b.s"), k, F.lit(".blogspot.com")))
+        .otherwise(F.concat(F.lit("s"), k, F.lit(".weird"), F.col("doc_id") % 9))
+    )
+    return d.select(
+        "doc_id", host.alias("host"),
+        registrable_domain_col(host).alias("rdomain"),
+    )
+
+
+_FAIR_W = 1000
+
+_FAIR_ORACLE = f"""
+    WITH dem AS (SELECT 'h' || (l_suppkey % 37) AS host, count(*)::BIGINT AS demand
+                 FROM lineitem GROUP BY 1),
+    lv AS (SELECT demand, count(*)::BIGINT AS cnt FROM dem GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(demand)::BIGINT AS dd FROM dem),
+    br AS (SELECT demand,
+            sum(demand * cnt) OVER (ORDER BY demand)
+              + demand * ((SELECT n FROM tot) - sum(cnt) OVER (ORDER BY demand)) AS served,
+            (SELECT n FROM tot) - sum(cnt) OVER (ORDER BY demand) AS n_above
+           FROM lv),
+    seg AS (SELECT demand AS d0, served AS srv0, n_above AS above0
+            FROM br WHERE served <= {_FAIR_W} ORDER BY demand DESC LIMIT 1),
+    lvl AS (SELECT CASE
+              WHEN NOT EXISTS (SELECT 1 FROM seg) THEN {_FAIR_W} // (SELECT n FROM tot)
+              WHEN (SELECT above0 FROM seg) = 0 THEN (SELECT d0 FROM seg)
+              ELSE (SELECT d0 FROM seg)
+                   + ({_FAIR_W} - (SELECT srv0 FROM seg)) // (SELECT above0 FROM seg)
+            END AS L),
+    a0 AS (SELECT host, demand,
+            CASE WHEN (SELECT dd FROM tot) <= {_FAIR_W} THEN demand
+                 ELSE least(demand, (SELECT L FROM lvl)) END AS alloc
+           FROM dem),
+    rr AS (SELECT greatest(0, {_FAIR_W} - (SELECT sum(alloc) FROM a0))
+           * (CASE WHEN (SELECT dd FROM tot) > {_FAIR_W} THEN 1 ELSE 0 END) AS r),
+    fin AS (SELECT host, demand, alloc,
+            row_number() OVER (PARTITION BY demand > (SELECT L FROM lvl)
+                               ORDER BY md5(host), host) AS rn
+            FROM a0)
+    SELECT host, demand,
+           (CASE WHEN demand > (SELECT L FROM lvl) AND rn <= (SELECT r FROM rr)
+                 THEN alloc + 1 ELSE alloc END)::BIGINT AS alloc
+    FROM fin
+    """
+
+
+@q("fair_share_budgets", _FAIR_ORACLE)
+def fair_share_budgets(spark, sf_dir):
+    """Max-min fair (water-filling) round-budget allocation
+    (webindex.fair_share_alloc): W={_FAIR_W} fetch slots across 37 hosts'
+    demands; level search on the compressed demand histogram, deterministic
+    md5-ranked remainder. Complements per-host politeness caps — those
+    bound hosts from above, this divides the cluster's global budget."""
+    li = T(spark, sf_dir, "lineitem")
+    dem = li.groupBy(
+        F.concat(F.lit("h"), F.col("l_suppkey") % 37).alias("host")
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    return webindex.fair_share_alloc(dem, _FAIR_W)

@@ -290,3 +290,73 @@ def resolve_aliases(aliases: DataFrame, max_hops: int = 32) -> DataFrame:
     )
     base.unpersist()
     return out
+
+
+# ---------------------------------------------------- fair-share budgets
+def fair_share_alloc(demand: DataFrame, total: int,
+                     host_col: str = "host",
+                     demand_col: str = "demand") -> DataFrame:
+    """(host, demand) × round budget W → (host, demand, alloc): max-min fair
+    (water-filling) allocation of a global fetch budget across hosts.
+
+    Per-host politeness caps (round.pop_batch) bound each host from ABOVE;
+    this op solves the complementary problem — the cluster can only fetch W
+    URLs this round, so who gets how many? Max-min fairness: find level L
+    such that Σ min(demand, L) fills W; no host gets more than it asked,
+    light hosts are never starved by heavy ones. Integer semantics: largest
+    integer L with Σ min(d,L) ≤ W, then the remainder goes one-each to the
+    hosts above L with smallest md5(host) (deterministic, engine-neutral).
+
+    Scale shape: the level search runs on the COMPRESSED (demand → count)
+    table — distinct demand values, not hosts (10^4 rows at 10^7 hosts) —
+    with one tiny-window cumulative pass and a single-row collect (same
+    O(1)-byte driver policy as pagerank's dangling mass). Host-side work is
+    map-only except the remainder rank, a top-r over only the above-level
+    hosts (two-stage salted top-k like pop_batch if r ever gets large).
+    """
+    d, h = F.col(demand_col), F.col(host_col)
+    dem = demand.select(h.alias("host"), d.cast("long").alias("demand")).persist()
+    lv = dem.groupBy("demand").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = dem.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("demand").alias("dd")).collect()[0]
+    n, dd = tot["n"] or 0, tot["dd"] or 0
+    if n == 0:
+        dem.unpersist()
+        return dem.withColumn("alloc", F.lit(0).cast("long"))
+    if dd <= total:
+        out = dem.withColumn("alloc", F.col("demand"))
+        dem.unpersist()
+        return out
+    w = Window.orderBy("demand").rowsBetween(Window.unboundedPreceding, 0)
+    br = lv.select(
+        "demand",
+        (F.sum(F.col("demand") * F.col("cnt")).over(w)
+         + F.col("demand") * (F.lit(n) - F.sum("cnt").over(w))).alias("served"),
+        (F.lit(n) - F.sum("cnt").over(w)).alias("n_above"),
+        F.sum(F.col("demand") * F.col("cnt")).over(w).alias("cum_sum"),
+    )
+    seg = (br.where(F.col("served") <= total)
+             .orderBy(F.col("demand").desc()).limit(1).collect())
+    if seg:
+        d0, srv0, above0 = seg[0]["demand"], seg[0]["served"], seg[0]["n_above"]
+    else:
+        d0, srv0, above0 = 0, 0, n
+    level = d0 if above0 == 0 else d0 + (total - srv0) // above0
+    alloc0 = dem.withColumn("alloc", F.least(F.col("demand"), F.lit(level)))
+    used = alloc0.agg(F.sum("alloc")).collect()[0][0] or 0
+    r = max(0, total - used)
+    if r == 0:
+        dem.unpersist()
+        return alloc0
+    rk = Window.partitionBy(F.col("demand") > level).orderBy(
+        F.md5(F.col("host")), "host")
+    out = (
+        alloc0.withColumn("_rn", F.row_number().over(rk))
+        .withColumn(
+            "alloc",
+            F.when((F.col("demand") > level) & (F.col("_rn") <= r),
+                   F.col("alloc") + 1).otherwise(F.col("alloc")))
+        .drop("_rn")
+    )
+    dem.unpersist()
+    return out

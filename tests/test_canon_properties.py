@@ -111,3 +111,26 @@ def test_spark_columns_match_python_model(spark):
     for r in df.collect():
         assert r["canon"] == canonicalize(r["url"]), r["url"]
         assert r["host"] == host_of(r["url"]), r["url"]
+
+
+# --------------------------------------------------- registrable_domain_col
+def test_registrable_domain_psl_rules(spark):
+    from pyspark.sql import functions as F
+
+    from spider_spark.canon import registrable_domain_col
+
+    cases = {
+        "www.x.co.uk": "x.co.uk",       # 2-level public suffix
+        "a.com": "a.com",               # simple
+        "com": None,                    # host IS a public suffix
+        "co.uk": None,
+        "x.github.io": "x.github.io",   # private-registry suffix
+        "github.io": None,
+        "localhost": None,              # single label, no rule
+        "deep.sub.a.blogspot.com": "a.blogspot.com",
+        "weird.zz": "weird.zz",         # unknown TLD -> implicit * rule
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r["host"]: r["rd"] for r in df.select(
+        "host", registrable_domain_col(F.col("host")).alias("rd")).collect()}
+    assert got == cases

@@ -38,6 +38,8 @@ SUBSET = [
     "redirect_resolve",   # round 2: pointer-doubling alias collapse
     "blocklist_gate",     # round 2: UT1-style domain+term blocklist
     "content_sniff",      # round 2: magic-byte vs declared Content-Type
+    "registrable_domains", # round 2: PSL eTLD+1 longest-suffix match
+    "fair_share_budgets",  # round 2: water-filling round budget split
 ]
 
 

@@ -178,3 +178,39 @@ def test_resolve_over_cap_chain_unresolved(spark):
     assert out["u0"] == (None, None, False)
     assert out["u6"] == ("u10", 4, True)
     assert out["u9"] == ("u10", 1, True)
+
+
+# ------------------------------------------------------- fair_share_alloc
+def _fair(spark, rows, total):
+    from spider_spark.webindex import fair_share_alloc
+    df = spark.createDataFrame(rows, "host string, demand long")
+    return {r["host"]: r["alloc"] for r in fair_share_alloc(df, total).collect()}
+
+
+def test_fair_share_waterfill_exact(spark):
+    """W=12 over demands (10,3,1,8): level 4, no remainder."""
+    a = _fair(spark, [("a", 10), ("b", 3), ("c", 1), ("d", 8)], 12)
+    assert a == {"a": 4, "b": 3, "c": 1, "d": 4}
+    assert sum(a.values()) == 12
+
+
+def test_fair_share_remainder_deterministic(spark):
+    """W=13: one extra slot goes to exactly one above-level host, and the
+    choice is stable across runs (md5 order)."""
+    rows = [("a", 10), ("b", 3), ("c", 1), ("d", 8)]
+    a1, a2 = _fair(spark, rows, 13), _fair(spark, rows, 13)
+    assert a1 == a2 and sum(a1.values()) == 13
+    assert a1["b"] == 3 and a1["c"] == 1
+    assert sorted((a1["a"], a1["d"])) == [4, 5]
+
+
+def test_fair_share_budget_exceeds_demand(spark):
+    a = _fair(spark, [("a", 2), ("b", 5)], 100)
+    assert a == {"a": 2, "b": 5}
+
+
+def test_fair_share_zero_budget_and_empty(spark):
+    from spider_spark.webindex import fair_share_alloc
+    assert set(_fair(spark, [("a", 4)], 0).values()) == {0}
+    empty = spark.createDataFrame([], "host string, demand long")
+    assert fair_share_alloc(empty, 10).count() == 0
