@@ -93,6 +93,15 @@ class CrawlConfig:
                                 # dropped (re-discoverable, re-dropped —
                                 # bounded rework, no correctness effect on
                                 # the seen set). 0 = off.
+    trap_scope: str = "host"    # scope key for max_urls_per_host: "host"
+                                # or "domain" (PSL registrable domain,
+                                # canon.registrable_domain_col). Wildcard-
+                                # DNS traps mint a fresh subdomain per
+                                # link (a1.trap.com, a2.trap.com, …) and
+                                # walk straight past a per-host cap;
+                                # per-operator scoping closes that hole.
+                                # Robots/budgets stay per host (robots.txt
+                                # is host-scoped by RFC 9309).
     trap_shape_guard: bool = False  # shape-based trap rejection at child
                                 # admission (webindex.trap_feature_cols
                                 # is_trap: repeated path segments, depth,
@@ -432,27 +441,42 @@ def run_round(
     # --- crawler-trap guard: cumulative per-host admission cap -------------
     if cfg.max_urls_per_host > 0:
         cap = cfg.max_urls_per_host
-        # existing per-host totals from the cheap urls-only scan (works in
+        # scope key: per host, or per PSL registrable domain (trap_scope=
+        # "domain" — wildcard-DNS traps mint a new subdomain per link, so
+        # the cap must bind per OPERATOR; NULL rdomain → fall back to host)
+        if cfg.trap_scope == "domain":
+            from spider_spark.canon import registrable_domain_col
+
+            def _scope(h):
+                return F.coalesce(registrable_domain_col(h), h)
+        else:
+            def _scope(h):
+                return h
+        # existing per-scope totals from the cheap urls-only scan (works in
         # both cow and mor — frontier_urls is the complete url set)
         host_counts = (
-            frontier_urls.select(host_col(F.col("url")).alias("host"))
-            .groupBy("host")
+            frontier_urls.select(
+                _scope(host_col(F.col("url"))).alias("_trap_scope"))
+            .groupBy("_trap_scope")
             .agg(F.count(F.lit(1)).alias("_n_host"))
         )
         # same two-stage salt discipline as pop_batch: a trap host's children
         # all share one window partition, which is exactly where the
-        # explosion happens — stage 1 truncates to ≤cap per (host, salt)
-        # before the exact per-host rank ever sees more than n_salt·cap rows
+        # explosion happens — stage 1 truncates to ≤cap per (scope, salt)
+        # before the exact per-scope rank ever sees more than n_salt·cap rows
         _cols = new_children.columns
+        new_children = new_children.withColumn(
+            "_trap_scope", _scope(F.col("host")))
         salt = F.pmod(F.col("url_hash"), F.lit(cfg.n_salt))
-        cw1 = Window.partitionBy("host", salt).orderBy("discovered_seq", "url")
+        cw1 = Window.partitionBy("_trap_scope", salt).orderBy(
+            "discovered_seq", "url")
         s1 = new_children.withColumn("_c1", F.row_number().over(cw1)).where(
             F.col("_c1") <= cap
         )
-        cw2 = Window.partitionBy("host").orderBy("discovered_seq", "url")
+        cw2 = Window.partitionBy("_trap_scope").orderBy("discovered_seq", "url")
         s2 = s1.withColumn("_c2", F.row_number().over(cw2))
         new_children = (
-            s2.join(host_counts, "host", "left")
+            s2.join(host_counts, "_trap_scope", "left")
             .where(
                 F.col("_c2") + F.coalesce(F.col("_n_host"), F.lit(0)) <= cap
             )

@@ -286,3 +286,38 @@ def test_trap_shape_guard_rejects_trap_children(spark, tmp_path):
     assert trap not in outcomes["on"]
     for u in (seed, clean):
         assert outcomes["on"][u] == outcomes["off"][u] == "done"
+
+
+def test_trap_scope_domain_caps_across_subdomains(spark, fixture, tmp_path):
+    """trap_scope='domain': every hNNNN.example.com host shares ONE
+    registrable domain (example.com), so the cumulative cap binds across
+    the whole corpus — the wildcard-DNS trap case a per-host cap misses.
+    Frontier total must stay ≤ max(cap, n_seeds), and be far below the
+    host-scoped crawl's total."""
+    pages_pd, pages, seeds = fixture
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    cap = 5
+
+    host_wd = tmp_path / "scope_host"
+    crawl(spark, host_wd, pages, seeds, policy,
+          CrawlConfig(max_depth=3, max_rounds=8, max_urls_per_host=cap))
+    host_total = tables.read_table(
+        spark, host_wd, tables.latest_round(host_wd), "frontier").count()
+
+    dom_wd = tmp_path / "scope_domain"
+    crawl(spark, dom_wd, pages, seeds, policy,
+          CrawlConfig(max_depth=3, max_rounds=8, max_urls_per_host=cap,
+                      trap_scope="domain"))
+    dom = tables.read_table(
+        spark, dom_wd, tables.latest_round(dom_wd), "frontier")
+    from spider_spark.canon import registrable_domain_col
+    per_dom = {r["d"]: r["n"] for r in dom.groupBy(
+        F.coalesce(registrable_domain_col(F.col("host")), F.col("host"))
+        .alias("d")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    seed_doms = {}
+    for u, _ in seeds:
+        d = ".".join(u.split("/")[2].split(".")[-2:])  # corpus hosts: x.y.com
+        seed_doms[d] = seed_doms.get(d, 0) + 1
+    for d, n in per_dom.items():
+        assert n <= cap + seed_doms.get(d, 0), (d, n)
+    assert dom.count() < host_total
