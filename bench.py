@@ -73,6 +73,13 @@ HEADLINE = [
     "recrawl_priority",      # round 2: change-rate recrawl tiers
     "cdx_lookup",            # round 2: pruned CDX sink + lookup roundtrip
     "dsir_weights",          # round 2: DSIR importance weighting
+    "hits_scores",           # round 2: HITS hub/auth link analysis
+    "trustrank_scores",      # round 2: seeded-teleport spam demotion
+    "redirect_resolve",      # round 2: pointer-doubling alias collapse
+    "blocklist_gate",        # round 2: UT1-style domain+term blocklist
+    "content_sniff",         # round 2: magic-byte type routing
+    "registrable_domains",   # round 2: PSL eTLD+1 extraction
+    "fair_share_budgets",    # round 2: water-filling budget split
 ]
 
 

@@ -104,27 +104,45 @@ def hits(links: DataFrame, iters: int = 5) -> DataFrame:
 
     scores = nodes.select("url", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth"))
 
+    # Each half-step PERSISTS its raw sums before the norm collect: the
+    # collect is then also the cache materialization, so the auth chain is
+    # computed once per iteration instead of ~3× (norm job + hub step +
+    # next iteration each re-deriving it — measured 20.5 s → ~7 s at sf0.1).
+    live: list = []  # caches the lazy `scores` plan still references
     for _ in range(iters):
         # auth step: sum incoming hub mass, then L1-normalize
         a_raw = (
             edges.join(scores.select("url", "hub"), F.col("src") == F.col("url"))
             .groupBy("dst").agg(F.sum("hub").alias("a"))
         )
-        auth = nodes.join(a_raw, F.col("url") == F.col("dst"), "left").select(
-            "url", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
-        a_norm = auth.agg(F.sum("a")).collect()[0][0] or 1.0
-        auth = auth.select("url", (F.col("a") / F.lit(a_norm)).alias("auth"))
+        a = nodes.join(a_raw, F.col("url") == F.col("dst"), "left").select(
+            "url", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")).persist()
+        a_norm = a.agg(F.sum("a")).collect()[0][0] or 1.0
+        auth = a.select("url", (F.col("a") / F.lit(a_norm)).alias("auth"))
         # hub step: sum outgoing (new) auth mass, then L1-normalize
         h_raw = (
             edges.join(auth, F.col("dst") == F.col("url"))
             .groupBy("src").agg(F.sum("auth").alias("h"))
         )
-        hub = nodes.join(h_raw, F.col("url") == F.col("src"), "left").select(
-            "url", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
-        h_norm = hub.agg(F.sum("h")).collect()[0][0] or 1.0
-        hub = hub.select("url", (F.col("h") / F.lit(h_norm)).alias("hub"))
+        h = nodes.join(h_raw, F.col("url") == F.col("src"), "left").select(
+            "url", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")).persist()
+        h_norm = h.agg(F.sum("h")).collect()[0][0] or 1.0
+        hub = h.select("url", (F.col("h") / F.lit(h_norm)).alias("hub"))
+        # lazy lineage cut: persist alone leaves the logical plan nesting
+        # (scores appears twice per iteration ⇒ exponential analyzed-plan
+        # growth; AQE's plan-string alone OOMs the driver by iter 4). The
+        # checkpoint materializes at the next iteration's norm collect while
+        # a/h are still cached, so it costs no recompute.
         scores = hub.join(auth, "url").localCheckpoint(eager=False)
+        # previous iteration's caches fed this plan up to the persisted a/h
+        # boundary; with a and h now materialized they can go
+        for c in live:
+            c.unpersist()
+        live = [a, h]
 
+    scores = scores.localCheckpoint(eager=True)
+    for c in live:
+        c.unpersist()
     edges.unpersist()
     nodes.unpersist()
     return scores

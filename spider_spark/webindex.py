@@ -348,15 +348,26 @@ def fair_share_alloc(demand: DataFrame, total: int,
     if r == 0:
         dem.unpersist()
         return alloc0
-    rk = Window.partitionBy(F.col("demand") > level).orderBy(
-        F.md5(F.col("host")), "host")
+    # remainder: r extra slots to the md5-smallest above-level hosts —
+    # two-stage salted top-r (pop_batch's discipline): stage 1 prunes each
+    # salt partition to its own top-r, so the exact global rank in stage 2
+    # sees ≤ min(64·r, n_above) rows instead of every above-level host.
+    above = alloc0.where(F.col("demand") > level)
+    salt = F.pmod(F.xxhash64(F.col("host")), F.lit(64))
+    w1 = Window.partitionBy(salt).orderBy(F.md5(F.col("host")), "host")
+    w2 = Window.orderBy(F.md5(F.col("host")), "host")
+    picked = (
+        above.withColumn("_r1", F.row_number().over(w1)).where(F.col("_r1") <= r)
+        .withColumn("_r2", F.row_number().over(w2)).where(F.col("_r2") <= r)
+        .select("host").withColumn("_pick", F.lit(1))
+    )
     out = (
-        alloc0.withColumn("_rn", F.row_number().over(rk))
+        alloc0.join(picked, "host", "left")
         .withColumn(
             "alloc",
-            F.when((F.col("demand") > level) & (F.col("_rn") <= r),
-                   F.col("alloc") + 1).otherwise(F.col("alloc")))
-        .drop("_rn")
+            F.when(F.col("_pick").isNotNull(), F.col("alloc") + 1)
+            .otherwise(F.col("alloc")))
+        .drop("_pick")
     )
     dem.unpersist()
     return out
