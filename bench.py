@@ -80,6 +80,10 @@ HEADLINE = [
     "content_sniff",         # round 2: magic-byte type routing
     "registrable_domains",   # round 2: PSL eTLD+1 extraction
     "fair_share_budgets",    # round 2: water-filling budget split
+    "cc_star_contraction",   # round 2: diameter-independent connected components
+    "dedup_survivor_flags",  # round 2: pairs→clusters→keep-one pipeline
+    "mirror_hosts",          # round 2: Bharat-Broder mirror-host detection
+    "content_seen_first",    # round 2: Mercator content-seen gate
 ]
 
 

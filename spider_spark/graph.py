@@ -1,0 +1,155 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+The pairs→clusters completion step the dedup family needs: MinHash/SimHash/
+Jaccard emit *pairwise* duplicate edges, but the keep-one-copy decision is
+per *component* (a near-dup cluster is a clique-ish blob, possibly chained
+through intermediate revisions). ``connected_components`` turns the edge
+list into ``(node, rep)`` where ``rep`` is the component minimum — the
+canonical survivor id — without ever materializing the transitive closure.
+
+Algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public paper):
+repeat { large-star; small-star } until the edge set is a fixed point.
+Both operations only hook nodes to smaller-labelled neighbours, so every
+intermediate edge set stays within the original components (no merging
+across components, no splitting), and the fixed point is a star per
+component centred on its minimum. Convergence is O(log² n) rounds — for
+dup clusters (tiny diameters) it is 2-3 rounds in practice.
+
+Scale shape per round: two groupBy-min shuffles (partially aggregable
+map-side) + one join each, all keyed on node id — the same Zipf-skew
+profile as pagerank(), handled by AQE skew-split on a cluster. The
+convergence probe is an O(1)-byte (count, hash-sum) scalar collect, not a
+set comparison; each round's output is eagerly localCheckpoint'ed so the
+plan stays flat at any round count (the lesson of pagerank.hits: persist
+alone leaves the analyzed plan nesting exponentially).
+
+Reference parity: mujinveil/Spider has no graph clustering (its dedup is
+the per-URL seen set, client_crawler.py); this module serves the brief's
+training-data-pipeline tier (near-dup cluster collapse at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _edge_stats(e: DataFrame) -> tuple[int, int]:
+    """(count, xxhash64-xor) fingerprint of an edge set — the O(1)-byte
+    convergence probe. bit_xor, not sum: ANSI mode (Spark 4 default) makes
+    a 64-bit hash SUM throw ARITHMETIC_OVERFLOW, while xor can't overflow
+    and is order-independent; the edge set is distinct, so the xor's
+    even-multiplicity cancellation can't fire. A false fixed-point needs a
+    64-bit collision between consecutive rounds (~2⁻⁶⁴); the failure mode
+    is one round early-stop on an almost-star graph, never a wrong merge."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, rep) for every node incident to an edge; rep = component min.
+
+    Node ids may be any orderable type (string urls, bigint doc_ids) — the
+    total order is Spark's, which matches DuckDB's for strings and ints,
+    so the recursive-CTE oracle reproduces reps exactly. Self-loops are
+    dropped; isolated nodes never enter ``edges`` and are the caller's
+    coalesce (``rep = node``), exactly like the left-join in
+    ``dedup_cluster_reps``.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        schema_t = dict(edges.dtypes)[src]
+        return spark.createDataFrame([], f"node {schema_t}, rep {schema_t}")
+
+    prev = _edge_stats(e)
+    for _ in range(max_iters):
+        # ---- large-star: every node hooks its LARGER neighbours to the
+        # minimum of its closed neighbourhood.
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # large-star output is (bigger, smaller)-oriented by construction:
+        # emitted (v, m) has m ≤ u < v.
+        # ---- small-star: every node points its smaller neighbourhood
+        # (and itself) at that neighbourhood's minimum.
+        mn = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss_self = mn.select("u", F.col("m").alias("v"))
+        ss_nbr = (
+            ls.join(mn, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e_next = (
+            ss_self.unionAll(ss_nbr)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # flat plan + materialized once
+        )
+        cur = _edge_stats(e_next)
+        e = e_next
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(guaranteed O(log² n) — raise max_iters for adversarial graphs)"
+        )
+    # fixed point is a star per component: (node, rep) with rep < node;
+    # add the centres themselves so every incident node gets a row.
+    reps = e.select(F.col("v").alias("node")).distinct().join(
+        e.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.col("node").alias("rep"))
+    return e.select(F.col("u").alias("node"), F.col("v").alias("rep")).unionByName(reps)
+
+
+def dedup_cluster_reps(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Collapse pairwise dup edges into per-document survivors.
+
+    docs:  any DataFrame with ``id_col`` (one row per document).
+    pairs: (a_id, b_id) dup edges from jaccard_pairs / minhash_lsh_pairs /
+           simhash_pairs — any threshold.
+    Returns (doc_id, rep, is_survivor): ``rep`` = min doc id of the near-dup
+    component (itself for unique docs), ``is_survivor`` = keep flag. The
+    downstream keep-one-copy filter is ``WHERE is_survivor`` — one
+    broadcast-or-shuffle join against the (tiny: only docs in dup pairs)
+    label table, never a join against the pair list.
+    """
+    labels = connected_components(pairs, src="a_id", dst="b_id", max_iters=max_iters)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep"),
+            (F.coalesce(F.col("rep"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_survivor"
+            ),
+        )
+    )

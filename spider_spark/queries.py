@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spider_spark import dedup, kline, media, parse, pool, textops, vectorops, webindex
+from spider_spark import dedup, graph, kline, media, parse, pool, textops, vectorops, webindex
 from spider_spark.canon import canonical_col, host_col
 from spider_spark.crawl import crawl
 from spider_spark.pagerank import hits, pagerank, trustrank
@@ -2199,6 +2199,67 @@ def dedup_clusters(spark, sf_dir):
 
 
 @q(
+    "cc_star_contraction",
+    """
+    SELECT doc_id AS node, doc_id - doc_id % 100 AS rep FROM documents
+    """,
+)
+def cc_star_contraction(spark, sf_dir):
+    """Diameter-independent connected components (graph.connected_components,
+    alternating large-star/small-star — Kiveris et al. SoCC'14). The fixture
+    is 5 chains of 100 consecutive ids (diameter 99): label propagation
+    needs 99 rounds to converge here, star contraction gets max_iters=10
+    and must still land the closed-form answer (rep = id - id%100) — the
+    query proves the O(log²) round bound, not just the labels."""
+    did = F.col("doc_id")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.where((did % 100 != 99) & (did + 1 < n)).select(
+        did.alias("src"), (did + 1).alias("dst")
+    )
+    return graph.connected_components(edges, max_iters=10)
+
+
+@q(
+    "dedup_survivor_flags",
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.node),
+    lab AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep,
+           coalesce(l.rep, d.doc_id) = d.doc_id AS is_survivor
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    """,
+)
+def dedup_survivor_flags(spark, sf_dir):
+    """The full pairs→clusters→keep-one pipeline: exact 3-gram Jaccard ≥0.8
+    pairs feed star-contraction CC, and every document gets (rep,
+    is_survivor) — the keep-one-copy filter a curation run applies. Oracle
+    is a genuine transitive closure (recursive CTE) over the same pairs, so
+    transitivity (a~b, b~c ⇒ same rep, (a,c) never emitted) is value-checked
+    end-to-end."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, 0.8, 3).select("a_id", "b_id")
+    return graph.dedup_cluster_reps(docs, pairs)
+
+
+@q(
     "dedup_embedding_bucketed",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3769,3 +3830,119 @@ def fair_share_budgets(spark, sf_dir):
         F.concat(F.lit("h"), F.col("l_suppkey") % 37).alias("host")
     ).agg(F.count(F.lit(1)).alias("demand"))
     return webindex.fair_share_alloc(dem, _FAIR_W)
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection + Mercator content-seen (webindex digest family)
+# ---------------------------------------------------------------------------
+
+_MIRROR_CAPS_SQL = """
+      SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/d/' || doc_id::VARCHAR AS url,
+             '<html>' || text || '</html>' AS page
+      FROM documents
+      UNION ALL
+      SELECT 'https://m0.example.com/d/' || doc_id::VARCHAR,
+             '<html>' || text || '</html>'
+      FROM documents WHERE doc_id % 20 = 3
+      UNION ALL
+      SELECT 'https://m1.example.com/d/' || doc_id::VARCHAR,
+             '<html>' || text || '</html>'
+      FROM documents WHERE doc_id % 40 = 7
+"""
+
+
+def _mirror_caps(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>"))
+    did = F.col("doc_id")
+    base = d.select(
+        F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                 F.lit(".example.com/d/"), did.cast("string")).alias("url"),
+        page.alias("html"),
+    )
+    m0 = d.where(did % 20 == 3).select(
+        F.concat(F.lit("https://m0.example.com/d/"), did.cast("string")).alias("url"),
+        page.alias("html"),
+    )
+    m1 = d.where(did % 40 == 7).select(
+        F.concat(F.lit("https://m1.example.com/d/"), did.cast("string")).alias("url"),
+        page.alias("html"),
+    )
+    return base.unionByName(m0).unionByName(m1)
+
+
+@q(
+    "mirror_hosts",
+    f"""
+    WITH caps AS ({_MIRROR_CAPS_SQL}),
+    hd AS (
+      SELECT DISTINCT
+        lower(regexp_extract(url, '^https://([^/]+)/', 1)) AS host,
+        substr(sha256(page), 1, 16) AS digest
+      FROM caps),
+    sizes AS (SELECT host, count(*) AS n_dg FROM hd GROUP BY host HAVING count(*) >= 2),
+    inter AS (
+      SELECT a.host AS a_host, b.host AS b_host, count(*) AS inter
+      FROM hd a JOIN hd b ON a.digest = b.digest AND a.host < b.host
+      GROUP BY 1, 2)
+    SELECT a_host, b_host, inter, sa.n_dg AS na, sb.n_dg AS nb,
+           inter::DOUBLE / least(sa.n_dg, sb.n_dg)::DOUBLE AS containment_min,
+           inter::DOUBLE / (sa.n_dg + sb.n_dg - inter)::DOUBLE AS jaccard
+    FROM inter JOIN sizes sa ON sa.host = a_host JOIN sizes sb ON sb.host = b_host
+    WHERE inter::DOUBLE / least(sa.n_dg, sb.n_dg)::DOUBLE >= 0.5
+    """,
+)
+def mirror_hosts(spark, sf_dir):
+    """Bharat-Broder mirror-host candidates (webindex.mirror_host_pairs)
+    over a planted-mirror capture set: m0 fully mirrors host h3's pages,
+    m1 holds half of h7's. Expected survivors: (h3, m0) containment 1.0
+    jaccard 1.0 and (h7, m1) containment 1.0 jaccard 0.52 — min-side
+    containment flags the partial mirror Jaccard under-scores. The oracle
+    recomputes digest-set overlap from scratch (regex host extraction vs
+    the engine's try_parse_url; independent similarity arithmetic)."""
+    return webindex.mirror_host_pairs(_mirror_caps(spark, sf_dir), threshold=0.5)
+
+
+@q(
+    "content_seen_first",
+    """
+    WITH caps AS (
+      SELECT 'https://h' || (d.doc_id % 20)::VARCHAR || '.example.com/d/' || d.doc_id::VARCHAR AS url,
+             make_timestamp(2024, 3, 1, 12, 0, 0.0) + INTERVAL (d.doc_id) MINUTE AS warc_ts,
+             '<html>' || l.text || '</html>' AS page
+      FROM documents d JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 5),
+    seen AS (
+      SELECT url, substr(sha256(page), 1, 16) AS digest,
+             first_value(url) OVER (PARTITION BY substr(sha256(page), 1, 16)
+                                    ORDER BY warc_ts, url) AS first_url
+      FROM caps)
+    SELECT url, digest, url = first_url AS is_first_seen,
+           CASE WHEN url = first_url THEN NULL ELSE first_url END AS dup_of_url
+    FROM seen
+    """,
+)
+def content_seen_first(spark, sf_dir):
+    """Mercator content-seen test (webindex.content_seen) on a quintet-
+    mirror fixture: five urls share each quintet leader's bytes, capture
+    times increase with doc_id, so exactly the leader's capture is
+    is_first_seen and the other four point at it. Oracle reruns the
+    first-capture-per-digest window independently in DuckDB."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    lead = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("lead_id"), "text"
+    )
+    did = F.col("doc_id")
+    caps = (
+        d.join(lead, (did - did % 5) == F.col("lead_id"))
+        .select(
+            F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                     F.lit(".example.com/d/"), did.cast("string")).alias("url"),
+            (F.make_timestamp(F.lit(2024), F.lit(3), F.lit(1), F.lit(12),
+                              F.lit(0), F.lit(0))
+             + F.make_interval(mins=did.cast("int"))).alias("warc_ts"),
+            F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>")).alias("html"),
+        )
+    )
+    return webindex.content_seen(caps).select(
+        "url", "digest", "is_first_seen", "dup_of_url"
+    )

@@ -371,3 +371,115 @@ def fair_share_alloc(demand: DataFrame, total: int,
     )
     dem.unpersist()
     return out
+
+
+# ----------------------------------------------------- mirror-host detection
+
+def mirror_host_pairs(
+    captures: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    threshold: float = 0.5,
+    max_hosts_per_digest: int | None = 256,
+    min_digests: int = 2,
+) -> DataFrame:
+    """Mirror/replica host detection à la Bharat & Broder, "A comparison of
+    techniques to find mirrored hosts on the WWW" (WWW8, 1999 — public):
+    two hosts are mirror candidates when their content-digest sets overlap.
+
+    Returns (a_host, b_host, inter, na, nb, containment_min, jaccard) for
+    pairs with ``containment_min ≥ threshold``, where containment_min =
+    |D(a)∩D(b)| / min(|D(a)|,|D(b)|) — 1.0 for a PARTIAL mirror that holds
+    a subset of the original (Jaccard alone under-scores those, which is
+    why Bharat-Broder rank by overlap of the smaller side).
+
+    Plan shape: distinct (host, digest) → self-join keyed on digest →
+    pair-count groupBy — identical to the shingle-join dedup family
+    (dedup.jaccard_pairs) with hosts as documents and digests as shingles,
+    so the candidate set is host pairs sharing ≥1 digest, never the host
+    cross-product. ``max_hosts_per_digest`` is the same hot-key cap as the
+    shingle max_df: a digest shared by h hosts contributes O(h²) candidate
+    rows (the empty page / default Apache index lives on millions of
+    hosts), so over-popular digests are dropped from the SIMILARITY
+    evidence — Bharat-Broder drop over-popular shingles for exactly this
+    reason. ``min_digests`` suppresses hosts too small to call mirrors.
+    """
+    hd = (
+        captures.select(
+            F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+            F.substring(F.sha2(F.col(html_col), 256), 1, 16).alias("digest"),
+        )
+        .where(F.col("host").isNotNull())
+        .distinct()
+    )
+    if max_hosts_per_digest is not None:
+        hot = (
+            hd.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("nh"))
+            .where(F.col("nh") > max_hosts_per_digest)
+            .select("digest")
+        )
+        hd = hd.join(F.broadcast(hot), "digest", "left_anti")
+    sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n_dg")).where(
+        F.col("n_dg") >= min_digests
+    )
+    a = hd.select(F.col("host").alias("a_host"), "digest")
+    b = hd.select(F.col("host").alias("b_host"), "digest")
+    inter = (
+        a.join(b, "digest")
+        .where(F.col("a_host") < F.col("b_host"))
+        .groupBy("a_host", "b_host")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("host").alias("a_host"), F.col("n_dg").alias("na"))
+    sb = sizes.select(F.col("host").alias("b_host"), F.col("n_dg").alias("nb"))
+    return (
+        inter.join(sa, "a_host").join(sb, "b_host")
+        .withColumn(
+            "containment_min",
+            F.col("inter").cast("double") / F.least("na", "nb").cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("containment_min") >= threshold)
+    )
+
+
+# ------------------------------------------------------- content-seen test
+
+def content_seen(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Mercator-style content-seen test (Heydon & Najork, "Mercator: a
+    scalable, extensible web crawler", WWW 1999 — public): the same bytes
+    reached via different URLs should be PROCESSED once. Each capture gets
+    (digest, is_first_seen, dup_of_url): the earliest capture per digest
+    (ties broken by url — deterministic under any executor schedule) is
+    canonical; later ones point at it. Downstream, ``WHERE is_first_seen``
+    is the parse/extract gate — fetch still happened (the URL-seen test is
+    round.py's Bloom frontier; this is the orthogonal content axis).
+
+    One shuffle, keyed on digest. Per-digest groups are the dup fan-in of
+    one page's bytes — bounded in real corpora by the hot-digest cap the
+    mirror detector applies; the window never globally sorts.
+    """
+    w = Window.partitionBy("digest").orderBy(F.col(ts_col), F.col(url_col))
+    return (
+        captures.withColumn(
+            "digest", F.substring(F.sha2(F.col(html_col), 256), 1, 16)
+        )
+        .withColumn("_first_url", F.first(url_col).over(w))
+        .withColumn("is_first_seen", F.col("_first_url") == F.col(url_col))
+        .withColumn(
+            "dup_of_url",
+            F.when(F.col("is_first_seen"), F.lit(None).cast("string"))
+            .otherwise(F.col("_first_url")),
+        )
+        .drop("_first_url")
+    )

@@ -1,0 +1,71 @@
+"""connected_components (large-star/small-star) on graphs with known structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_spark.graph import connected_components, dedup_cluster_reps
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["rep"] for r in connected_components(df, **kw).collect()}
+
+
+def test_two_components(spark):
+    lab = _labels(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+    assert lab == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_long_path_converges_logarithmically(spark):
+    # 33-node path: min-label must travel 32 hops; star-contraction does it
+    # in O(log²) rounds — 8 is ample, 32 sequential label-prop rounds is not.
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(32)]
+    lab = _labels(spark, edges, max_iters=8)
+    assert set(lab.values()) == {"n00"}
+    assert len(lab) == 33
+
+
+def test_cycle_and_clique(spark):
+    lab = _labels(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"),  # 3-cycle
+         ("p", "q"), ("p", "r"), ("q", "r"), ("r", "s")],  # clique + tail
+    )
+    assert {lab[k] for k in "abc"} == {"a"}
+    assert {lab[k] for k in "pqrs"} == {"p"}
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    lab = _labels(spark, [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")])
+    assert lab == {"a": "a", "b": "a"}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(df).count() == 0
+
+
+def test_bigint_ids_min_is_numeric(spark):
+    df = spark.createDataFrame([(10, 2), (2, 9)], "src long, dst long")
+    lab = {r["node"]: r["rep"] for r in connected_components(df).collect()}
+    assert lab == {2: 2, 9: 2, 10: 2}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(f"n{i}", f"n{i + 1}") for i in range(20)],
+                               "src string, dst string")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iters=1)
+
+
+def test_dedup_cluster_reps_survivor_flags(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 6)], "a_id long, b_id long")
+    rows = {r["doc_id"]: (r["rep"], r["is_survivor"])
+            for r in dedup_cluster_reps(docs, pairs).collect()}
+    assert rows == {
+        1: (1, True), 3: (1, False), 5: (1, False),
+        2: (2, True), 6: (2, False),
+        4: (4, True),
+    }

@@ -214,3 +214,81 @@ def test_fair_share_zero_budget_and_empty(spark):
     assert set(_fair(spark, [("a", 4)], 0).values()) == {0}
     empty = spark.createDataFrame([], "host string, demand long")
     assert fair_share_alloc(empty, 10).count() == 0
+
+
+# ----------------------------------------------------- mirror-host detection
+
+def _mirror_fixture(spark):
+    rows = []
+    # h-a: 4 unique pages; h-b: full mirror of h-a; h-c: holds 2 of them
+    for i in range(4):
+        rows.append((f"https://h-a.example.com/p{i}", f"<html>page-{i}</html>"))
+        rows.append((f"https://h-b.example.com/q{i}", f"<html>page-{i}</html>"))
+    for i in range(2):
+        rows.append((f"https://h-c.example.com/r{i}", f"<html>page-{i}</html>"))
+    # h-d: unrelated
+    rows.append(("https://h-d.example.com/x", "<html>other</html>"))
+    rows.append(("https://h-d.example.com/y", "<html>other2</html>"))
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_mirror_full_and_partial(spark):
+    from spider_spark.webindex import mirror_host_pairs
+
+    out = {(r["a_host"], r["b_host"]): r
+           for r in mirror_host_pairs(_mirror_fixture(spark), threshold=0.5).collect()}
+    full = out[("h-a.example.com", "h-b.example.com")]
+    assert full["containment_min"] == 1.0 and full["jaccard"] == 1.0
+    part = out[("h-a.example.com", "h-c.example.com")]
+    assert part["containment_min"] == 1.0  # c ⊂ a: min-containment flags it
+    assert abs(part["jaccard"] - 2 / 4) < 1e-12
+    assert ("h-b.example.com", "h-c.example.com") in out
+    assert not any("h-d" in k[0] or "h-d" in k[1] for k in out)
+
+
+def test_mirror_hot_digest_capped(spark):
+    from spider_spark.webindex import mirror_host_pairs
+
+    # one page shared by 30 hosts (default-index syndrome) + no other overlap
+    rows = [(f"https://h{i}.example.com/", "<html>default</html>") for i in range(30)]
+    rows += [(f"https://h{i}.example.com/u{i}", f"<html>unique-{i}</html>")
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, html string")
+    assert mirror_host_pairs(df, threshold=0.1, max_hosts_per_digest=8).count() == 0
+    # uncapped, the shared digest manufactures 30·29/2 candidate pairs
+    assert mirror_host_pairs(df, threshold=0.1, max_hosts_per_digest=None).count() == 435
+
+
+def test_mirror_min_digests_suppresses_tiny_hosts(spark):
+    from spider_spark.webindex import mirror_host_pairs
+
+    rows = [("https://big.example.com/a", "<html>a</html>"),
+            ("https://big.example.com/b", "<html>b</html>"),
+            ("https://tiny.example.com/a", "<html>a</html>")]
+    df = spark.createDataFrame(rows, "url string, html string")
+    assert mirror_host_pairs(df, threshold=0.1, min_digests=2).count() == 0
+    assert mirror_host_pairs(df, threshold=0.1, min_digests=1).count() == 1
+
+
+# ------------------------------------------------------- content-seen test
+
+def test_content_seen_first_wins_by_ts_then_url(spark):
+    from spider_spark.webindex import content_seen
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 3, 1, 12, 5, 0)
+    rows = [
+        ("https://a.example.com/1", t1, "<html>same</html>"),
+        ("https://b.example.com/1", t0, "<html>same</html>"),  # earliest ts
+        ("https://c.example.com/1", t0, "<html>same</html>"),  # ts tie: url order
+        ("https://d.example.com/u", t0, "<html>unique</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html string")
+    out = {r["url"]: r for r in content_seen(df).collect()}
+    assert out["https://b.example.com/1"]["is_first_seen"]
+    assert out["https://b.example.com/1"]["dup_of_url"] is None
+    assert not out["https://c.example.com/1"]["is_first_seen"]
+    assert out["https://c.example.com/1"]["dup_of_url"] == "https://b.example.com/1"
+    assert out["https://a.example.com/1"]["dup_of_url"] == "https://b.example.com/1"
+    assert out["https://d.example.com/u"]["is_first_seen"]
