@@ -84,6 +84,8 @@ HEADLINE = [
     "dedup_survivor_flags",  # round 2: pairs→clusters→keep-one pipeline
     "mirror_hosts",          # round 2: Bharat-Broder mirror-host detection
     "content_seen_first",    # round 2: Mercator content-seen gate
+    "canonical_collapse",    # round 2: rel=canonical chain collapse
+    "url_template_mining",   # round 2: per-host path-template shapes
 ]
 
 

@@ -198,3 +198,30 @@ def registrable_domain_col(host: Column, psl: list[str] | None = None) -> Column
         .when(idx > 1, F.element_at(sfx, (idx - 1).cast("int")))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def absolutize_href_col(href: Column, base_url: Column) -> Column:
+    """Resolve an href against its page URL (RFC 3986 §5 reference
+    resolution, the subset crawl-wild hrefs actually use): absolute URIs
+    pass through, ``//host/…`` takes the base scheme, ``/path`` takes the
+    base origin, and bare relative paths merge onto the base path's
+    directory. Dot-segment normalization is deliberately out of scope
+    (§5.2.4) — the reference's crawler never emits ``..`` links and the
+    canonicalizer treats paths opaquely; documented subset, not drift.
+
+    Pure JVM column algebra (try_parse_url-hardened: an unparseable base
+    yields NULL, never a throw), so link absolutization runs inside
+    whole-stage codegen next to discovery itself."""
+    scheme = F.lower(F.try_parse_url(base_url, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(base_url, F.lit("AUTHORITY")))
+    origin = F.concat(scheme, F.lit("://"), auth)
+    path = F.coalesce(F.try_parse_url(base_url, F.lit("PATH")), F.lit("/"))
+    dirp = F.regexp_replace(path, "[^/]*$", "")
+    dirp = F.when(dirp == "", F.lit("/")).otherwise(dirp)
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, dirp, href))
+    )

@@ -398,3 +398,29 @@ def project_weibo_user(json_col: Column) -> list[Column]:
     """field_map projection: parse once, alias per the reference's map."""
     p = F.from_json(json_col, WEIBO_USER_SCHEMA)
     return [p[src].alias(dst) for src, dst in WEIBO_FIELD_MAP.items()]
+
+
+def canonical_link_udf():
+    """First ``<link rel="canonical" href=...>`` per document (RFC 6596) via
+    the DOM engine — THE explicit same-content signal webmasters publish;
+    an archive pipeline turns it into alias edges and collapses them with
+    webindex.resolve_aliases (its sibling signals: 3xx chains, content
+    digests). First match wins, as the major engines document for
+    conflicting canonicals. Returns the raw href (possibly relative —
+    canon.absolutize_href_col resolves it against the page url JVM-side);
+    NULL when absent."""
+    from spider_spark import dom
+
+    xp = dom.XPath("//link[@rel='canonical']/@href")
+
+    @pandas_udf(StringType())
+    def extract(html: pd.Series) -> pd.Series:
+        def first_href(raw):
+            if raw is None:
+                return None
+            hits = xp(dom.parse_html_bytes(raw))
+            return hits[0] if hits else None
+
+        return html.map(first_href)
+
+    return extract

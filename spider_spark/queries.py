@@ -3946,3 +3946,92 @@ def content_seen_first(spark, sf_dir):
     return webindex.content_seen(caps).select(
         "url", "digest", "is_first_seen", "dup_of_url"
     )
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical collapse + URL template mining (webindex)
+# ---------------------------------------------------------------------------
+
+@q(
+    "canonical_collapse",
+    """
+    WITH q AS (
+      SELECT doc_id, doc_id - doc_id % 4 AS lead,
+             (doc_id - doc_id % 4) % 20 AS h
+      FROM documents WHERE doc_id % 4 != 0)
+    SELECT 'https://h' || h::VARCHAR || '.example.com/d/' || doc_id::VARCHAR AS url,
+           'https://h' || h::VARCHAR || '.example.com/d/' || lead::VARCHAR AS target,
+           (doc_id % 4)::BIGINT AS hops, true AS resolved
+    FROM q
+    """,
+)
+def canonical_collapse(spark, sf_dir):
+    """End-to-end rel=canonical collapse: pages carry a planted
+    ``<link rel=canonical>`` in a DIFFERENT syntactic form per chain
+    position (root-relative, absolute, scheme-relative — all three
+    absolutize branches execute), quartets chain 3→2→1→0, and quartet
+    leaders declare self-canonical (must be dropped, not looped). DOM
+    extraction → JVM absolutization → pointer-doubling resolve; the oracle
+    is the closed form of the planted topology (target = quartet leader,
+    hops = position)."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    lead = did - did % 4
+    host = F.concat(F.lit("h"), (lead % 20).cast("string"), F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), did.cast("string"))
+    prev = (did - 1).cast("string")
+    href = (
+        F.when(did % 4 == 1, F.concat(F.lit("/d/"), prev))
+        .when(did % 4 == 2, F.concat(F.lit("https://"), host, F.lit("/d/"), prev))
+        .when(did % 4 == 3, F.concat(F.lit("//"), host, F.lit("/d/"), prev))
+        .otherwise(url)  # leader: self-canonical, must drop
+    )
+    caps = d.select(
+        url.alias("url"),
+        F.concat(F.lit('<html><head><link rel="canonical" href="'), href,
+                 F.lit('"></head><body>.</body></html>')).alias("html"),
+    )
+    return webindex.resolve_aliases(webindex.canonical_alias_edges(caps))
+
+
+@q(
+    "url_template_mining",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        'https://h' || (doc_id % 7)::VARCHAR || '.example.com' ||
+        CASE doc_id % 3
+          WHEN 0 THEN '/product/' || doc_id::VARCHAR || '/review/' || (doc_id % 5)::VARCHAR
+          WHEN 1 THEN '/archive/2024/' || (doc_id % 12 + 1)::VARCHAR || '/' || (doc_id % 28 + 1)::VARCHAR
+          ELSE '/about/team' END AS url
+      FROM documents),
+    t AS (
+      SELECT lower(regexp_extract(url, '^https://([^/]+)', 1)) AS host,
+             regexp_replace(regexp_extract(url, '^https://[^/]+(/.*)$', 1),
+                            '[0-9]+', '{d}', 'g') AS template,
+             url
+      FROM u)
+    SELECT host, template, count(*) AS n_urls, min(url) AS example_url
+    FROM t GROUP BY host, template
+    """,
+)
+def url_template_mining(spark, sf_dir):
+    """Per-host URL path-template mining (webindex.url_templates): digit
+    runs collapse to {d}, (host, template) groups counted with a
+    deterministic example url — the shape signal behind template-level
+    trap detection and crawl planning. Three planted families (product
+    pages, calendar archive, static page) across 7 hosts; the oracle
+    recomputes host+template with an independent regex decomposition."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (did % 7).cast("string"), F.lit(".example.com"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("/product/"), did.cast("string"),
+                        F.lit("/review/"), (did % 5).cast("string")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("/archive/2024/"), (did % 12 + 1).cast("string"),
+                       F.lit("/"), (did % 28 + 1).cast("string")))
+        .otherwise(F.lit("/about/team")),
+    )
+    return webindex.url_templates(d.select(url.alias("url")))

@@ -483,3 +483,57 @@ def content_seen(
         )
         .drop("_first_url")
     )
+
+
+# ------------------------------------------------- rel=canonical collapse
+
+def canonical_alias_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) alias edges from in-page ``<link rel=canonical>``
+    declarations: DOM-extract the first canonical href per page
+    (parse.canonical_link_udf, Arrow-batched), absolutize it against the
+    page URL JVM-side (canon.absolutize_href_col), drop self-canonicals
+    (the recommended no-op declaration) and pages without one. Feed the
+    result to resolve_aliases for the chain collapse — canonical chains
+    (A says B is canonical, B says C) are explicitly common in the wild
+    and resolve in ⌈log₂⌉ rounds there."""
+    from spider_spark import parse as P
+    from spider_spark.canon import absolutize_href_col
+
+    href = P.canonical_link_udf()(F.col(html_col))
+    return (
+        pages.select(F.col(url_col).alias("src"), href.alias("_href"))
+        .withColumn("dst", absolutize_href_col(F.col("_href"), F.col("src")))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+    )
+
+
+# --------------------------------------------------- URL template mining
+
+def url_templates(urls: DataFrame, url_col: str = "url",
+                  min_count: int = 1) -> DataFrame:
+    """Mine per-host URL *path templates*: digit runs in the path collapse
+    to ``{d}`` (``/product/8231/review/4`` → ``/product/{d}/review/{d}``),
+    then (host, template) groups are counted with a deterministic example
+    (min url) and distinct-template stats per host.
+
+    Why a crawler mines these: template cardinality is the shape signal
+    behind both trap detection (one template minting unbounded {d} values
+    = calendar/session trap — the volumetric complement of
+    trap_feature_cols) and crawl planning (a 10^6-URL template crawled at
+    depth 2 is a database dump, not content). One groupBy shuffle on
+    (host, template); the regex runs in codegen, no UDF."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    tmpl = F.regexp_replace(path, "[0-9]+", "{d}")
+    return (
+        urls.select(host.alias("host"), tmpl.alias("template"),
+                    F.col(url_col).alias("url"))
+        .where(F.col("host").isNotNull())
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.min("url").alias("example_url"))
+        .where(F.col("n_urls") >= min_count)
+    )

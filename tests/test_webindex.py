@@ -292,3 +292,87 @@ def test_content_seen_first_wins_by_ts_then_url(spark):
     assert out["https://c.example.com/1"]["dup_of_url"] == "https://b.example.com/1"
     assert out["https://a.example.com/1"]["dup_of_url"] == "https://b.example.com/1"
     assert out["https://d.example.com/u"]["is_first_seen"]
+
+
+# ------------------------------------------------- rel=canonical collapse
+
+def test_absolutize_href_branches(spark):
+    from spider_spark.canon import absolutize_href_col
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("https://A.Example.com:8080/a/b/page.html", "https://other.com/x"),
+        ("https://a.example.com/a/b/page.html", "//cdn.example.com/y"),
+        ("https://A.Example.com:8080/a/b/page.html", "/root.html"),
+        ("https://a.example.com/a/b/page.html", "sibling.html"),
+        ("https://a.example.com/noslash", "rel.html"),
+        ("https://a.example.com/a/b/", None),
+    ]
+    df = spark.createDataFrame(rows, "base string, href string")
+    out = [r["abs"] for r in df.select(
+        absolutize_href_col(F.col("href"), F.col("base")).alias("abs")).collect()]
+    assert out == [
+        "https://other.com/x",
+        "https://cdn.example.com/y",
+        "https://a.example.com:8080/root.html",
+        "https://a.example.com/a/b/sibling.html",
+        "https://a.example.com/rel.html",
+        None,
+    ]
+
+
+def test_canonical_alias_edges_forms_and_selfdrop(spark):
+    from spider_spark.webindex import canonical_alias_edges
+
+    rows = [
+        ("https://h.example.com/d/1",
+         '<html><head><link rel="canonical" href="/d/0"></head><body>x</body></html>'),
+        ("https://h.example.com/d/2",
+         '<html><head><link rel="canonical" href="https://h.example.com/d/1"></head></html>'),
+        ("https://h.example.com/d/3",
+         '<html><head><link rel="canonical" href="//h.example.com/d/2"></head></html>'),
+        # self-canonical: dropped
+        ("https://h.example.com/d/0",
+         '<html><head><link rel="canonical" href="https://h.example.com/d/0"></head></html>'),
+        # no canonical at all: dropped
+        ("https://h.example.com/d/9", "<html><body>plain</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    edges = {(r["src"], r["dst"]) for r in canonical_alias_edges(df).collect()}
+    assert edges == {
+        ("https://h.example.com/d/1", "https://h.example.com/d/0"),
+        ("https://h.example.com/d/2", "https://h.example.com/d/1"),
+        ("https://h.example.com/d/3", "https://h.example.com/d/2"),
+    }
+
+
+def test_canonical_chain_collapses_via_resolve(spark):
+    from spider_spark.webindex import canonical_alias_edges, resolve_aliases
+
+    rows = [
+        (f"https://h.example.com/d/{i}",
+         f'<html><head><link rel="canonical" href="/d/{i - 1}"></head></html>')
+        for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    res = {r["url"]: (r["target"], r["hops"], r["resolved"])
+           for r in resolve_aliases(canonical_alias_edges(df)).collect()}
+    assert res["https://h.example.com/d/3"] == ("https://h.example.com/d/0", 3, True)
+    assert res["https://h.example.com/d/1"] == ("https://h.example.com/d/0", 1, True)
+
+
+# --------------------------------------------------- URL template mining
+
+def test_url_templates_counts_and_example(spark):
+    from spider_spark.webindex import url_templates
+
+    urls = [f"https://shop.example.com/product/{i}/review/{j}"
+            for i in (3, 17, 99) for j in (1, 2)]
+    urls += ["https://shop.example.com/about", "https://blog.example.com/post/7"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {(r["host"], r["template"]): (r["n_urls"], r["example_url"])
+           for r in url_templates(df).collect()}
+    assert out[("shop.example.com", "/product/{d}/review/{d}")] == (
+        6, "https://shop.example.com/product/17/review/1")
+    assert out[("shop.example.com", "/about")] == (1, "https://shop.example.com/about")
+    assert out[("blog.example.com", "/post/{d}")][0] == 1
