@@ -86,6 +86,7 @@ HEADLINE = [
     "content_seen_first",    # round 2: Mercator content-seen gate
     "canonical_collapse",    # round 2: rel=canonical chain collapse
     "url_template_mining",   # round 2: per-host path-template shapes
+    "meta_robots_gate",      # round 2: in-page REP directives
 ]
 
 

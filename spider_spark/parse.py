@@ -424,3 +424,113 @@ def canonical_link_udf():
         return html.map(first_href)
 
     return extract
+
+
+def robots_directives_udf():
+    """In-page robots directives — the page-level complement to robots.txt
+    (REP meta tag, documented by the robotstxt.org / search-engine specs):
+    ``<meta name="robots" content="noindex, nofollow">`` plus per-link
+    ``<a rel="nofollow">``. Returns
+    struct(noindex, nofollow, follow_hrefs array<string>):
+
+    - noindex:  'noindex' or 'none' token in the meta content — the page
+      must not land in the items/index sink.
+    - nofollow: 'nofollow' or 'none' token — NO link on the page may enter
+      the frontier.
+    - follow_hrefs: hrefs in document order, minus per-link rel=nofollow
+      (token match within whitespace-split rel, per the microformat), and
+      empty when the page-level nofollow is set — directly joinable into
+      link discovery.
+
+    Token parsing is exact (split on commas/whitespace), not substring:
+    content="nofollowup" must NOT trip the directive."""
+    from pyspark.sql.types import ArrayType, BooleanType, StructField, StructType
+
+    from spider_spark import dom
+
+    meta_xp = dom.XPath("//meta[@name='robots']/@content")
+    a_xp = dom.XPath("//a")
+    out = StructType(
+        [
+            StructField("noindex", BooleanType()),
+            StructField("nofollow", BooleanType()),
+            StructField("follow_hrefs", ArrayType(StringType())),
+        ]
+    )
+
+    @pandas_udf(out)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        import re as _re
+
+        def one(raw):
+            if raw is None:
+                return (None, None, None)
+            root = dom.parse_html_bytes(raw)
+            toks: set[str] = set()
+            for content in meta_xp(root):
+                toks.update(
+                    t.strip().lower()
+                    for t in _re.split(r"[,\s]+", content or "")
+                    if t.strip()
+                )
+            noindex = "noindex" in toks or "none" in toks
+            nofollow = "nofollow" in toks or "none" in toks
+            hrefs: list[str] = []
+            if not nofollow:
+                for n in a_xp(root):
+                    href = n.get("href")
+                    if not href:
+                        continue
+                    rel = (n.get("rel") or "").lower().split()
+                    if "nofollow" not in rel:
+                        hrefs.append(href)
+            return (noindex, nofollow, hrefs)
+
+        rows = html.map(one)
+        return pd.DataFrame(
+            rows.tolist(), columns=["noindex", "nofollow", "follow_hrefs"]
+        )
+
+    return extract
+
+
+# -------------------------------------------- in-page robots, JVM fast path
+# Token-exact by \b word boundaries: content="nofollowup" must not trip
+# ('nofollow' followed by a word char fails \b). 'none' implies both
+# noindex and nofollow per the REP meta spec.
+_META_RE = (
+    r'(?i)<meta[^>]*name\s*=\s*["\']robots["\'][^>]*'
+    r'content\s*=\s*["\'][^"\']*\b{tok}\b'
+)
+META_NOINDEX_RE = _META_RE.format(tok="(?:noindex|none)")
+META_NOFOLLOW_RE = _META_RE.format(tok="(?:nofollow|none)")
+
+
+def meta_noindex_col(html_str: Column) -> Column:
+    """Page declares ``<meta name=robots content=...noindex/none...>`` —
+    the item/index sink must skip it. Codegen rlike, no Python."""
+    return html_str.rlike(META_NOINDEX_RE)
+
+
+def meta_nofollow_col(html_str: Column) -> Column:
+    """Page-level nofollow: no link on the page may enter the frontier."""
+    return html_str.rlike(META_NOFOLLOW_RE)
+
+
+def follow_links_col(html_str: Column) -> Column:
+    """Link discovery honoring per-link ``rel=nofollow``: extract whole
+    anchor open-tags, drop tags whose rel contains the nofollow token,
+    then pull each survivor's href — all builtin regex + higher-order
+    array functions (codegen, no Python workers). Document order is
+    preserved (regexp_extract_all scans left to right), so posexplode
+    first-wins semantics match links_col exactly on nofollow-free pages."""
+    tags = F.regexp_extract_all(
+        html_str, F.lit(r'(?i)(<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>)'), 1
+    )
+    kept = F.filter(
+        tags,
+        lambda t: ~t.rlike(r'(?i)rel\s*=\s*["\'][^"\']*\bnofollow\b'),
+    )
+    return F.transform(
+        kept, lambda t: F.regexp_extract(t, r'href\s*=\s*"([^"]+)"', 1)
+    )

@@ -4035,3 +4035,61 @@ def url_template_mining(spark, sf_dir):
         .otherwise(F.lit("/about/team")),
     )
     return webindex.url_templates(d.select(url.alias("url")))
+
+
+@q(
+    "meta_robots_gate",
+    """
+    SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/d/' || doc_id::VARCHAR AS url,
+           doc_id % 5 = 0 AS noindex,
+           doc_id % 7 = 0 AS nofollow,
+           CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS n_follow,
+           CASE WHEN doc_id % 7 = 0 THEN ''
+                ELSE '/l/' || doc_id::VARCHAR || '/1,/l/' || doc_id::VARCHAR || '/3'
+           END AS follow_csv
+    FROM documents
+    """,
+)
+def meta_robots_gate(spark, sf_dir):
+    """In-page robots directives (parse.robots_directives_udf): pages carry
+    planted ``<meta name=robots>`` tokens (noindex at 5|id, nofollow at
+    7|id — both at 35|id via a combined content attr) plus a per-link
+    rel="nofollow" anchor at 3|id that must be dropped from the follow set
+    regardless of the meta. The oracle is the closed form of the plants;
+    the engine must recover it from raw HTML through the DOM."""
+    from spider_spark.parse import robots_directives_udf
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    i = did.cast("string")
+    meta = (
+        F.when((did % 5 == 0) & (did % 7 == 0),
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 5 == 0, F.lit('<meta name="robots" content="NOINDEX">'))
+        .when(did % 7 == 0, F.lit('<meta name="robots" content="index,nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    link2 = F.when(
+        did % 3 == 0,
+        F.concat(F.lit('<a rel="external nofollow" href="/l/'), i,
+                 F.lit('/2">sponsored</a>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="/l/'), i, F.lit('/1">one</a>'), link2,
+        F.lit('<a href="/l/'), i, F.lit('/3">three</a>'),
+        F.lit("</body></html>"),
+    )
+    caps = d.select(
+        F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                 F.lit(".example.com/d/"), i).alias("url"),
+        html.alias("html"),
+    )
+    directives = robots_directives_udf()(F.col("html")).alias("d")
+    return caps.select("url", directives).select(
+        "url",
+        F.col("d.noindex").alias("noindex"),
+        F.col("d.nofollow").alias("nofollow"),
+        F.size("d.follow_hrefs").alias("n_follow"),
+        F.array_join("d.follow_hrefs", ",").alias("follow_csv"),
+    )

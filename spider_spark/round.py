@@ -67,6 +67,15 @@ class CrawlConfig:
                                  # each round for hosts with >50% misses
     partition_frontier: bool = True  # D5: hive-partition frontier by status
     bloom_telemetry: bool = True     # _bloom probe counters into fetch_log
+    honor_meta_robots: bool = False  # in-page REP directives: <meta
+                                     # name=robots> noindex keeps the page
+                                     # out of items, nofollow empties its
+                                     # link set, per-link rel=nofollow
+                                     # drops that link. Off by default —
+                                     # reference parity (the reference
+                                     # ignores in-page directives); all
+                                     # gates are codegen rlike/HOF exprs,
+                                     # no Python in the hot loop.
     jvm_parse: bool = True      # builtin-regexp page parse (codegen, no
                                 # python workers); False = pandas UDF path
                                 # (charset-faithful gb18030 double-decode)
@@ -338,15 +347,24 @@ def run_round(
         parse.parse_page_cols(html_str) if cfg.jvm_parse
         else parse.parse_page_udf(F.col("html"))
     )
+    if cfg.honor_meta_robots:
+        links_expr = F.when(
+            parse.meta_nofollow_col(html_str), F.array().cast("array<string>")
+        ).otherwise(parse.follow_links_col(html_str))
+        noindex_expr = parse.meta_noindex_col(html_str)
+    else:
+        links_expr = parse.links_col(html_str)
+        noindex_expr = F.lit(False)
     parsed = (
         fetched.withColumn("ok", F.col("html").isNotNull())
         .withColumn("p", page_struct)
-        .withColumn("links_raw", F.when(F.col("ok"), parse.links_col(html_str)))
+        .withColumn("links_raw", F.when(F.col("ok"), links_expr))
+        .withColumn("_noindex", noindex_expr)
         .drop("html")
     )
     parsed = parsed.persist()
 
-    items = parsed.where(F.col("ok")).select(
+    items = parsed.where(F.col("ok") & ~F.col("_noindex")).select(
         "url",
         "url_md5",
         F.lit(round_no).alias("fetched_round"),

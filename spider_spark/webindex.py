@@ -404,6 +404,10 @@ def mirror_host_pairs(
     evidence — Bharat-Broder drop over-popular shingles for exactly this
     reason. ``min_digests`` suppresses hosts too small to call mirrors.
     """
+    # persist at both fan-out points: hd is referenced by the hot-digest
+    # cap AND the cap survivors feed sizes + both join sides — without the
+    # persist every reference re-executes the full capture scan + distinct
+    # (measured 48 scans / 46 exchanges on the fixture plan; 1 scan with it)
     hd = (
         captures.select(
             F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
@@ -411,6 +415,7 @@ def mirror_host_pairs(
         )
         .where(F.col("host").isNotNull())
         .distinct()
+        .persist()
     )
     if max_hosts_per_digest is not None:
         hot = (
@@ -419,7 +424,7 @@ def mirror_host_pairs(
             .where(F.col("nh") > max_hosts_per_digest)
             .select("digest")
         )
-        hd = hd.join(F.broadcast(hot), "digest", "left_anti")
+        hd = hd.join(F.broadcast(hot), "digest", "left_anti").persist()
     sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n_dg")).where(
         F.col("n_dg") >= min_digests
     )

@@ -130,3 +130,54 @@ def test_resume_mid_crawl(spark, fixture_data, spark_inputs, tmp_path):
     b = {tuple(r) for r in tables.read_table(
         spark, tmp_path / "part", summary.last_round, "frontier").collect()}
     assert a == b
+
+
+def test_honor_meta_robots_gates_frontier_and_items(spark, tmp_path):
+    """In-loop REP directives: rel=nofollow drops one link, page-level
+    nofollow empties a page's link set, noindex keeps a fetched page out
+    of items — and the default config ignores all three (reference
+    parity)."""
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+    from spider_spark import tables
+
+    H = "https://site.example.com"
+    pages = [
+        (f"{H}/s",
+         f'<html><body><a href="{H}/a">a</a><a rel="nofollow" href="{H}/c">c</a>'
+         f'<a href="{H}/b">b</a></body></html>'),
+        (f"{H}/a",
+         f'<html><head><meta name="robots" content="nofollow"></head>'
+         f'<body><a href="{H}/d">d</a></body></html>'),
+        (f"{H}/b",
+         f'<html><head><meta name="robots" content="noindex"></head>'
+         f'<body><a href="{H}/e">e</a></body></html>'),
+        (f"{H}/c", "<html><body>c</body></html>"),
+        (f"{H}/d", "<html><body>d</body></html>"),
+        (f"{H}/e", "<html><body>e</body></html>"),
+    ]
+    pages_df = spark.createDataFrame(pages, "url string, html string")
+    policy = spark.createDataFrame(
+        [("site.example.com", 5.0, ["/"], [], -1)],
+        "host string, crawl_delay double, robots_allow array<string>, "
+        "robots_deny array<string>, host_budget int",
+    )
+    seeds = [(f"{H}/s", 0)]
+
+    wd1 = str(tmp_path / "honor")
+    crawl(spark, wd1, pages_df, seeds, policy,
+          CrawlConfig(max_rounds=10, honor_meta_robots=True))
+    frontier = tables.read_table(spark, wd1, tables.latest_round(wd1), "frontier")
+    fetched = {r["url"] for r in frontier.where("status = 'done'").collect()}
+    # c dropped (rel=nofollow), d dropped (a is page-nofollow), e followed
+    assert fetched == {f"{H}/s", f"{H}/a", f"{H}/b", f"{H}/e"}
+    items = {r["url"] for r in tables.read_appended(spark, wd1, "items").collect()}
+    assert items == {f"{H}/s", f"{H}/a", f"{H}/e"}  # b noindex'd away
+
+    wd2 = str(tmp_path / "ignore")
+    crawl(spark, wd2, pages_df, seeds, policy, CrawlConfig(max_rounds=10))
+    frontier2 = tables.read_table(spark, wd2, tables.latest_round(wd2), "frontier")
+    fetched2 = {r["url"] for r in frontier2.where("status = 'done'").collect()}
+    assert fetched2 == {f"{H}/{p}" for p in "sabcde"}
+    items2 = tables.read_appended(spark, wd2, "items")
+    assert items2.count() == 6

@@ -158,3 +158,38 @@ def test_dom_links_udf_beats_regex_on_messy_anchors(spark):
     # (undecoded entity) — the DOM path is the one that matches browser
     # semantics on all three messy forms
     assert regex_links[1] == ["/e?x=1&amp;y=2"]
+
+
+# ------------------------------------------------- in-page robots directives
+
+def test_robots_directives_tokens_and_link_filter(spark):
+    from pyspark.sql import functions as F
+    from spider_spark.parse import robots_directives_udf
+
+    rows = [
+        # plain page, one nofollow link among two
+        ("u1", '<html><body><a href="/a">a</a>'
+               '<a rel="external nofollow" href="/b">b</a></body></html>'),
+        # noindex only: links still followed
+        ("u2", '<html><head><meta name="robots" content="NOINDEX"></head>'
+               '<body><a href="/c">c</a></body></html>'),
+        # page-level nofollow: link set empty
+        ("u3", '<html><head><meta name="robots" content="index, nofollow"></head>'
+               '<body><a href="/d">d</a></body></html>'),
+        # none = noindex + nofollow
+        ("u4", '<html><head><meta name="robots" content="none"></head>'
+               '<body><a href="/e">e</a></body></html>'),
+        # substring must not trip: content and rel both near-miss
+        ("u5", '<html><head><meta name="robots" content="nofollowup"></head>'
+               '<body><a rel="nofollower" href="/f">f</a></body></html>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {
+        r["url"]: (r["d"]["noindex"], r["d"]["nofollow"], r["d"]["follow_hrefs"])
+        for r in df.select("url", robots_directives_udf()(F.col("html")).alias("d")).collect()
+    }
+    assert out["u1"] == (False, False, ["/a"])
+    assert out["u2"] == (True, False, ["/c"])
+    assert out["u3"] == (False, True, [])
+    assert out["u4"] == (True, True, [])
+    assert out["u5"] == (False, False, ["/f"])
