@@ -87,6 +87,7 @@ HEADLINE = [
     "canonical_collapse",    # round 2: rel=canonical chain collapse
     "url_template_mining",   # round 2: per-host path-template shapes
     "meta_robots_gate",      # round 2: in-page REP directives
+    "warc_dedup_roundtrip",  # round 2: revisit-record dedup WARC sink
 ]
 
 

@@ -4093,3 +4093,60 @@ def meta_robots_gate(spark, sf_dir):
         F.size("d.follow_hrefs").alias("n_follow"),
         F.array_join("d.follow_hrefs", ",").alias("follow_csv"),
     )
+
+
+@q(
+    "warc_dedup_roundtrip",
+    """
+    WITH caps AS (
+      SELECT d.doc_id,
+             'https://h' || (d.doc_id % 20)::VARCHAR || '.example.com/d/' || d.doc_id::VARCHAR AS url,
+             d.doc_id - d.doc_id % 5 AS lead, l.text AS payload
+      FROM documents d JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 5)
+    SELECT url,
+           CASE WHEN doc_id = lead THEN 'response' ELSE 'revisit' END AS record_type,
+           CASE WHEN doc_id = lead THEN NULL
+                ELSE 'https://h' || (lead % 20)::VARCHAR || '.example.com/d/' || lead::VARCHAR
+           END AS refers_to_url,
+           CASE WHEN doc_id = lead THEN octet_length(encode(payload))::BIGINT
+                ELSE 0::BIGINT END AS n_payload_bytes,
+           CASE WHEN doc_id = lead THEN md5(payload) ELSE NULL END AS payload_md5
+    FROM caps
+    """,
+)
+def warc_dedup_roundtrip(spark, sf_dir):
+    """Dedup-aware WARC sink→source roundtrip (warc.write_warc_deduped):
+    quintet-mirror captures (five urls share each leader's bytes, capture
+    time grows with doc_id) must land as ONE response record per distinct
+    payload plus four payload-free revisit pointers at the leader — the
+    ISO 28500 identical-payload-digest profile. The oracle is the closed
+    form of the plants; every header the engine writes (refers-to, zero
+    content-length) must survive serialization, gzip member framing, and
+    the defensive distributed parse to match it."""
+    import tempfile
+
+    from spider_spark import warc as warcmod
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    lead = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("lead_id"), "text"
+    )
+    did = F.col("doc_id")
+    caps = (
+        d.join(lead, (did - did % 5) == F.col("lead_id"))
+        .select(
+            F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                     F.lit(".example.com/d/"), did.cast("string")).alias("url"),
+            (F.lit("2026-02-01 00:00:00").cast("timestamp")
+             + F.make_interval(mins=did.cast("int"))).alias("warc_ts"),
+            F.col("text").alias("payload"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_dd_")
+    warcmod.write_warc_deduped(caps.repartition(8, "url"), out_dir)
+    back = warcmod.read_warc(spark, f"{out_dir}/*.warc.gz")
+    return back.select(
+        "url", "record_type", "refers_to_url", "n_payload_bytes",
+        F.when(F.col("record_type") == "response",
+               F.md5(F.encode("payload", "UTF-8"))).alias("payload_md5"),
+    )

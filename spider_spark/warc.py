@@ -47,29 +47,45 @@ READ_SCHEMA = StructType([
     StructField("n_payload_bytes", LongType()),
     StructField("warc_file", StringType()),
     StructField("error", StringType()),
+    StructField("record_type", StringType()),
+    StructField("refers_to_url", StringType()),
 ])
 
-
-def _record_bytes(url: str, ts: str, payload: bytes) -> bytes:
-    head = (
-        f"WARC/1.0{CRLF}"
-        f"WARC-Type: response{CRLF}"
-        f"WARC-Target-URI: {url}{CRLF}"
-        f"WARC-Date: {ts}{CRLF}"
-        f"Content-Type: text/html; charset=utf-8{CRLF}"
-        f"Content-Length: {len(payload)}{CRLF}"
-        f"{CRLF}"
-    ).encode("utf-8")
-    return head + payload + CRLF.encode() * 2
+# ISO 28500 / IIPC revisit profile: "identical payload digest" — the record
+# asserts the fetched bytes were byte-identical to an earlier capture and
+# stores NO payload, only the pointer. This is how Common Crawl / Heritrix
+# keep re-fetch storage sublinear in fetch count (public WARC spec).
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
 
 
-def serialize_warc(rows: Iterator[tuple[str, str, bytes]]) -> bytes:
-    """Serialize (url, iso_ts, payload_bytes) tuples into warc.gz bytes —
-    one gzip member per record (CC convention)."""
+def _record_bytes(
+    url: str, ts: str, payload: bytes,
+    rec_type: str = "response", extra: dict[str, str] | None = None,
+) -> bytes:
+    lines = [
+        "WARC/1.0",
+        f"WARC-Type: {rec_type}",
+        f"WARC-Target-URI: {url}",
+        f"WARC-Date: {ts}",
+    ]
+    for k, v in (extra or {}).items():
+        lines.append(f"{k}: {v}")
+    lines += [
+        "Content-Type: text/html; charset=utf-8",
+        f"Content-Length: {len(payload)}",
+        "", "",
+    ]
+    return CRLF.join(lines).encode("utf-8") + payload + CRLF.encode() * 2
+
+
+def serialize_warc(rows: Iterator[tuple]) -> bytes:
+    """Serialize (url, iso_ts, payload_bytes[, rec_type, extra_headers])
+    tuples into warc.gz bytes — one gzip member per record (CC
+    convention)."""
     buf = io.BytesIO()
-    for url, ts, payload in rows:
+    for url, ts, payload, *rest in rows:
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-            gz.write(_record_bytes(url, ts, payload))
+            gz.write(_record_bytes(url, ts, payload, *rest))
     return buf.getvalue()
 
 
@@ -121,7 +137,8 @@ def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
         except Exception as e:  # truncated/corrupt archive: surface, keep going
             return [{"url": None, "warc_ts": None, "payload": None,
                      "n_payload_bytes": 0, "warc_file": fname,
-                     "error": f"gzip: {e}"}]
+                     "error": f"gzip: {e}", "record_type": None,
+                     "refers_to_url": None}]
     pos = 0
     while True:
         start = blob.find(b"WARC/", pos)
@@ -138,7 +155,8 @@ def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
             length = int(headers.get("content-length", "0"))
             payload = blob[hdr_end + 4: hdr_end + 4 + length]
             pos = hdr_end + 4 + length
-            if headers.get("warc-type") != "response":
+            rec_type = headers.get("warc-type")
+            if rec_type not in ("response", "revisit"):
                 continue
             ts = headers.get("warc-date")
             tsv = pd.Timestamp(ts) if ts else None
@@ -151,12 +169,15 @@ def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
                 "n_payload_bytes": len(payload),
                 "warc_file": fname,
                 "error": None,
+                "record_type": rec_type,
+                "refers_to_url": headers.get("warc-refers-to-target-uri"),
             })
         except Exception as e:
             pos = hdr_end + 4 if hdr_end > 0 else start + 5
             out.append({"url": None, "warc_ts": None, "payload": None,
                         "n_payload_bytes": 0, "warc_file": fname,
-                        "error": f"record: {e}"})
+                        "error": f"record: {e}", "record_type": None,
+                        "refers_to_url": None})
     return out
 
 
@@ -173,3 +194,64 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in READ_SCHEMA.fields])
 
     return files.select("path", "content").mapInPandas(_parse, READ_SCHEMA)
+
+
+def write_warc_deduped(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "payload",
+) -> int:
+    """Dedup-aware WARC sink: the Mercator content-seen test decides, per
+    capture, between a full ``response`` record and a payload-free
+    ``revisit`` record (identical-payload-digest profile) pointing at the
+    first capture of those bytes — so N urls serving the same page cost
+    ONE stored payload plus N-1 ~200-byte pointers. This is the storage
+    half of content dedup: read_warc returns both record types, and
+    ``WHERE record_type = 'response'`` IS the deduped corpus while a join
+    on refers_to_url reconstructs the full capture set losslessly.
+
+    Plan: one digest-keyed window (webindex.content_seen) on top of
+    write_warc's executor-side serialization — no driver data, no extra
+    shuffle beyond the digest partition."""
+    import os
+
+    from spider_spark.webindex import content_seen
+
+    os.makedirs(out_dir, exist_ok=True)
+    seen = content_seen(df, url_col=url_col, ts_col=ts_col, html_col=text_col)
+    n_parts = seen.rdd.getNumPartitions()
+
+    def _fmt(ts) -> str:
+        return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    def _write(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for r in it:
+            if r["is_first_seen"]:
+                rows.append((r[url_col], _fmt(r[ts_col]),
+                             r[text_col].encode("utf-8")))
+            else:
+                rows.append((
+                    r[url_col], _fmt(r[ts_col]), b"", "revisit",
+                    {
+                        "WARC-Profile": REVISIT_PROFILE,
+                        "WARC-Payload-Digest": f"sha256:{r['digest']}",
+                        "WARC-Refers-To-Target-URI": r["dup_of_url"],
+                        "WARC-Refers-To-Date": _fmt(r["dup_of_ts"]),
+                    },
+                ))
+        if rows:
+            path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(serialize_warc(iter(rows)))
+            os.rename(tmp, path)
+
+    seen.select(url_col, ts_col, text_col, "digest", "is_first_seen",
+                "dup_of_url", "dup_of_ts").foreachPartition(_write)
+    return n_parts

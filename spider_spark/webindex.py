@@ -480,13 +480,19 @@ def content_seen(
             "digest", F.substring(F.sha2(F.col(html_col), 256), 1, 16)
         )
         .withColumn("_first_url", F.first(url_col).over(w))
+        .withColumn("_first_ts", F.first(ts_col).over(w))
         .withColumn("is_first_seen", F.col("_first_url") == F.col(url_col))
         .withColumn(
             "dup_of_url",
             F.when(F.col("is_first_seen"), F.lit(None).cast("string"))
             .otherwise(F.col("_first_url")),
         )
-        .drop("_first_url")
+        .withColumn(
+            "dup_of_ts",
+            F.when(F.col("is_first_seen"), F.lit(None).cast("timestamp"))
+            .otherwise(F.col("_first_ts")),
+        )
+        .drop("_first_url", "_first_ts")
     )
 
 

@@ -565,3 +565,42 @@ def test_declared_type_parsing_and_mismatch(spark):
     out = {r["id"]: (r["m"], r["c"]) for r in
            df.select("id", mm.alias("m"), cs.alias("c")).collect()}
     assert out == {1: (False, "utf-8"), 2: (True, None), 3: (False, None)}
+
+
+def test_warc_dedup_revisit_roundtrip(spark, docs, tmp_path):
+    """write_warc_deduped stores each distinct payload once (response) and
+    a payload-free revisit pointer for every later capture of the same
+    bytes; the read side reconstructs the full capture set losslessly by
+    joining revisits onto their referent."""
+    from spider_spark import warc
+
+    # 30 urls, only 10 distinct payloads (doc_id mod 10 picks the text)
+    base = docs.limit(10).select(
+        (F.col("doc_id") % 10).alias("k"), F.col("text"))
+    src = spark.range(30).select(
+        F.concat(F.lit("https://h/x"), F.col("id").cast("string")).alias("url"),
+        (F.lit("2026-02-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("id").cast("int"))).alias("warc_ts"),
+        (F.col("id") % 10).alias("k"),
+    ).join(base, "k").select("url", "warc_ts", F.col("text").alias("payload"))
+    out = str(tmp_path / "wd")
+    warc.write_warc_deduped(src.repartition(4), out)
+    back = warc.read_warc(spark, f"{out}/*.warc.gz")
+
+    resp = back.where(F.col("record_type") == "response")
+    rev = back.where(F.col("record_type") == "revisit")
+    assert resp.count() == 10 and rev.count() == 20
+    assert rev.agg(F.sum("n_payload_bytes")).collect()[0][0] == 0
+    # earliest capture per payload is the stored one (ids 0..9)
+    stored = {r["url"] for r in resp.collect()}
+    assert stored == {f"https://h/x{i}" for i in range(10)}
+    # lossless reconstruction: revisit payload = referent's payload
+    rebuilt = (
+        rev.select("url", F.col("refers_to_url").alias("r"))
+        .join(resp.select(F.col("url").alias("r"), "payload"), "r")
+        .select("url", "payload")
+        .unionByName(resp.select("url", "payload"))
+    )
+    a = {(r["url"], r["payload"]) for r in src.collect()}
+    b = {(r["url"], r["payload"]) for r in rebuilt.collect()}
+    assert a == b
