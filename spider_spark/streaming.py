@@ -238,3 +238,33 @@ def stream_first_wins_urls(
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["url_hash"])
     )
+
+
+def stream_content_seen(
+    spark: SparkSession,
+    ingest_dir: str | Path,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming Mercator content-seen test — the content-axis twin of
+    :func:`stream_first_wins_urls`: the FIRST capture per payload digest
+    inside the watermark horizon passes; mirrors/replays of the same bytes
+    under other URLs are dropped while their state is live, and the state
+    store frees each digest once the watermark passes it (bounded state,
+    same discipline as the url layer). Beyond the horizon the batch
+    content_seen window (webindex.content_seen) is the exact layer — the
+    two compose exactly like url-dedup's stream/Bloom split.
+
+    Returns an unstarted streaming DataFrame with the digest column kept
+    (the downstream CDX/WARC sinks want it anyway)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(ingest_dir))
+    return (
+        stream.withColumn(
+            "digest", F.substring(F.sha2(F.col("html").cast("string"), 256), 1, 16)
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -209,3 +209,34 @@ def test_stream_first_wins_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.url.lower() for r in spark.sql("select url from fw").collect()}
     assert got == {"https://h.example.com/a", "https://h.example.com/b"}
+
+
+def test_stream_content_seen_dedups_mirror_bytes(spark, tmp_path):
+    """Identical payloads under different urls collapse to the first
+    arrival inside the watermark horizon; distinct payloads pass."""
+    import pandas as pd
+
+    ingest = tmp_path / "in_cs"
+    ingest.mkdir()
+    t0 = pd.Timestamp("2026-02-01 10:00:00")
+    rows = [
+        ("https://a.example.com/1", t0, b"<html>same</html>"),
+        ("https://b.example.com/1", t0 + pd.Timedelta("1 min"), b"<html>same</html>"),
+        ("https://c.example.com/1", t0 + pd.Timedelta("2 min"), b"<html>same</html>"),
+        ("https://d.example.com/u", t0 + pd.Timedelta("1 min"), b"<html>unique</html>"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+    ).coalesce(1).write.mode("overwrite").parquet(str(ingest))
+
+    out = streaming.stream_content_seen(spark, ingest, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cs")
+        .option("checkpointLocation", str(tmp_path / "ck_cs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.url for r in spark.sql("select url from cs").collect()}
+    assert got == {"https://a.example.com/1", "https://d.example.com/u"}
