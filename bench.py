@@ -88,6 +88,7 @@ HEADLINE = [
     "url_template_mining",   # round 2: per-host path-template shapes
     "meta_robots_gate",      # round 2: in-page REP directives
     "warc_dedup_roundtrip",  # round 2: revisit-record dedup WARC sink
+    "phrase_search",         # round 2: positional-index phrase intersection
 ]
 
 

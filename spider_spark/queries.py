@@ -4150,3 +4150,23 @@ def warc_dedup_roundtrip(spark, sf_dir):
         F.when(F.col("record_type") == "response",
                F.md5(F.encode("payload", "UTF-8"))).alias("payload_md5"),
     )
+
+
+@q(
+    "phrase_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i, w FROM t),
+    m AS (SELECT doc_id, i FROM s WHERE w[i] = 'table' AND w[i+1] = 'value')
+    SELECT doc_id, count(*) AS n_hits, (min(i) - 1)::INT AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+)
+def phrase_search(spark, sf_dir):
+    """Exact phrase search ("table value") over the positional inverted
+    index (textops.phrase_hits): postings of term i vote for start pos-i,
+    k distinct votes = a match — two shuffles for any phrase length. The
+    oracle slides a window over the token array independently (the
+    generate_series + 1-based ws[i] walk), so positions, counts, and the
+    0- vs 1-based offset are all value-checked."""
+    return textops.phrase_hits(T(spark, sf_dir, "documents"), "table value")

@@ -274,3 +274,53 @@ def fingerprint_cols(grams: Column) -> dict[str, Column]:
         )
         % F.lit(1_000_000_007),
     }
+
+
+# ------------------------------------------------ positional index / phrases
+def positional_index(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Positional inverted-index postings: one (term, doc_id, pos) row per
+    token occurrence — the structure phrase/proximity search needs beyond
+    BM25's bag-of-words. At archive scale the postings table is written
+    bucketed BY TERM (the same hive-bucket layout write_cdx uses for
+    urlkeys), so a phrase lookup prunes to its terms' buckets instead of
+    scanning the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    return toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+
+
+def phrase_hits(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact phrase search over the positional index: for the k-term
+    phrase, each posting of term i votes for candidate start ``pos - i``;
+    a start with all k distinct votes is a match (the classic
+    positional-intersection algorithm, e.g. Manning/Raghavan/Schütze IIR
+    §2.4 — public). Returns (doc_id, n_hits, first_pos), 0-based.
+
+    Plan: the index scan filters to the phrase's terms FIRST (term-bucket
+    pruning at scale), then one groupBy(doc_id, start) vote count and one
+    per-doc agg — no self-join chain, so a k-word phrase costs the same
+    two shuffles as a 2-word one. Repeated terms in the phrase are
+    handled by counting distinct term SLOTS, not distinct terms."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    idx = positional_index(docs, id_col, text_col)
+    votes = None
+    for i, t in enumerate(terms):
+        part = idx.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start"), F.lit(i).alias("slot")
+        )
+        votes = part if votes is None else votes.unionByName(part)
+    starts = (
+        votes.where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("slot").alias("n_slots"))
+        .where(F.col("n_slots") == k)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.min("start").alias("first_pos")
+    )

@@ -604,3 +604,27 @@ def test_warc_dedup_revisit_roundtrip(spark, docs, tmp_path):
     a = {(r["url"], r["payload"]) for r in src.collect()}
     b = {(r["url"], r["payload"]) for r in rebuilt.collect()}
     assert a == b
+
+
+def test_phrase_hits_positions_and_repeats(spark):
+    from spider_spark.textops import phrase_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "cat sat"),
+            (3, "sat cat"),            # reversed: no match
+            (4, "the cat nap sat"),    # gap: no match
+            (5, "a a a"),              # repeated-term phrase fixture
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_hits(docs, "cat sat").collect()}
+    assert out == {1: (2, 1), 2: (1, 0)}
+    rep = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_hits(docs, "a a").collect()}
+    assert rep == {5: (2, 0)}
+    three = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+             for r in phrase_hits(docs, "on the cat").collect()}
+    assert three == {1: (1, 3)}
