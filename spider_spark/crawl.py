@@ -264,17 +264,29 @@ def crawl(
         tables.write_snapshot(workdir, rnd, tbls, partition_by=pb,
                               stats_fn=round_stats, frontier_base=frontier_base)
         prev_stats = (tables.read_manifest(workdir, rnd) or {}).get("stats", {})
-        if cfg.backoff_factor > 1.0:
-            # B7: blocked hosts get slower budgets next round. Materialize
-            # EAGERLY and AFTER the snapshot write (parsed is cache-hot and
-            # fetch_log tiny): a lazy checkpoint would only materialize next
-            # round, after the unpersist below, forcing a full recompute of
-            # this round's claim/fetch/parse pipeline (ADVICE r01).
-            from spider_spark.round import policy_backoff
+        if cfg.backoff_factor > 1.0 or cfg.recover_factor > 1.0:
+            # B7: blocked hosts get slower budgets next round; with
+            # recover_factor set, clean hosts step back toward the pinned
+            # baseline (AIMD — backoff is a loop, not a ratchet).
+            # Materialize EAGERLY and AFTER the snapshot write (parsed is
+            # cache-hot and fetch_log tiny): a lazy checkpoint would only
+            # materialize next round, after the unpersist below, forcing a
+            # full recompute of this round's claim/fetch/parse pipeline
+            # (ADVICE r01).
+            from spider_spark.round import (
+                pin_policy_base, policy_backoff, policy_recover,
+            )
 
-            policy = policy_backoff(
-                policy, result.fetch_log, factor=cfg.backoff_factor
-            ).localCheckpoint(eager=True)
+            policy = pin_policy_base(policy)
+            if cfg.backoff_factor > 1.0:
+                policy = policy_backoff(
+                    policy, result.fetch_log, factor=cfg.backoff_factor
+                )
+            if cfg.recover_factor > 1.0:
+                policy = policy_recover(
+                    policy, result.fetch_log, recover_factor=cfg.recover_factor
+                )
+            policy = policy.localCheckpoint(eager=True)
         for df in result.cached:
             df.unpersist()
         rounds_run += 1

@@ -65,6 +65,10 @@ class CrawlConfig:
                                 # small-corpus regime; leave 0 on a cluster
     backoff_factor: float = 1.0  # >1: B7 host backoff (policy_backoff) after
                                  # each round for hosts with >50% misses
+    recover_factor: float = 1.0  # >1: AIMD recovery (policy_recover) — hosts
+                                 # with a clean round step crawl_delay/budget
+                                 # back toward the pinned baseline, so
+                                 # backoff is a closed loop, not a ratchet
     partition_frontier: bool = True  # D5: hive-partition frontier by status
     bloom_telemetry: bool = True     # _bloom probe counters into fetch_log
     honor_meta_robots: bool = False  # in-page REP directives: <meta
@@ -234,6 +238,66 @@ def policy_backoff(
             ).otherwise(F.col("host_budget")),
         )
         .drop("_backoff")
+    )
+
+
+def pin_policy_base(policy: DataFrame) -> DataFrame:
+    """Pin the pre-backoff politeness baseline (idempotent): recovery needs
+    the ORIGINAL crawl_delay/host_budget to step back toward, and pinning
+    must happen before the first backoff doubles them."""
+    if "base_crawl_delay" not in policy.columns:
+        policy = policy.withColumn("base_crawl_delay", F.col("crawl_delay"))
+    if "base_host_budget" not in policy.columns:
+        policy = policy.withColumn("base_host_budget", F.col("host_budget"))
+    return policy
+
+
+def policy_recover(
+    policy: DataFrame,
+    fetch_log: DataFrame,
+    miss_threshold: float = 0.5,
+    recover_factor: float = 2.0,
+) -> DataFrame:
+    """The recovery half of B7's AIMD loop (policy_backoff is the
+    multiplicative-decrease half): hosts that fetched CLEANLY this round
+    (miss rate ≤ threshold) step back toward their pinned baseline —
+    ``crawl_delay ← max(base, delay / recover_factor)`` and any finite
+    backed-off budget doubles back up to its base. Without this, one bad
+    round (a transient block, qcc.py:92-93's 120 s sleep case) slows a
+    host for the rest of the crawl; with it, backoff is a closed loop the
+    way Heritrix/TCP treat congestion. Hosts not fetched this round are
+    untouched (no evidence either way). Requires pin_policy_base()."""
+    rates = (
+        fetch_log.where(F.col("partition_id") >= 0)
+        .groupBy("host")
+        .agg((F.sum("n_missed") / F.sum("n_claimed")).alias("_miss_rate"))
+        .where(F.col("_miss_rate") <= miss_threshold)
+        .select("host", F.lit(True).alias("_recover"))
+    )
+    budget = F.coalesce(F.col("host_budget"), F.lit(-1))
+    base_b = F.coalesce(F.col("base_host_budget"), F.lit(-1))
+    return (
+        policy.join(rates, "host", "left")
+        .withColumn(
+            "crawl_delay",
+            F.when(
+                F.col("_recover"),
+                F.greatest(F.col("base_crawl_delay"),
+                           F.col("crawl_delay") / recover_factor),
+            ).otherwise(F.col("crawl_delay")),
+        )
+        .withColumn(
+            "host_budget",
+            F.when(
+                F.col("_recover") & (budget > 0) & (base_b > 0) & (budget < base_b),
+                F.least(
+                    base_b,
+                    # ≥ +1 progress even when factor·budget floors to itself
+                    F.greatest(F.floor(budget * recover_factor), budget + 1),
+                ).cast("int"),
+            ).otherwise(F.col("host_budget")),
+        )
+        .drop("_recover")
     )
 
 

@@ -321,3 +321,48 @@ def test_trap_scope_domain_caps_across_subdomains(spark, fixture, tmp_path):
     for d, n in per_dom.items():
         assert n <= cap + seed_doms.get(d, 0), (d, n)
     assert dom.count() < host_total
+
+
+def test_policy_recover_aimd_restores_baseline(spark):
+    from spider_spark.round import pin_policy_base, policy_backoff, policy_recover
+
+    policy = pin_policy_base(spark.createDataFrame(
+        [("good.com", 5.0, ["/"], [], 8), ("blocked.com", 5.0, ["/"], [], 8),
+         ("idle.com", 5.0, ["/"], [], 8)],
+        "host string, crawl_delay double, robots_allow array<string>, "
+        "robots_deny array<string>, host_budget int",
+    ))
+    bad = spark.createDataFrame(
+        [(1, 0, "good.com", 10, 10, 0), (1, 0, "blocked.com", 10, 2, 8)],
+        "round int, partition_id int, host string, n_claimed long, n_fetched long, n_missed long",
+    )
+    p1 = policy_backoff(policy, bad, factor=2.0)
+    out1 = {r["host"]: (r["crawl_delay"], r["host_budget"]) for r in p1.collect()}
+    assert out1["blocked.com"] == (10.0, 4)
+
+    # next round blocked.com fetches cleanly -> one recovery step, capped at base
+    clean = spark.createDataFrame(
+        [(2, 0, "blocked.com", 4, 4, 0)],
+        "round int, partition_id int, host string, n_claimed long, n_fetched long, n_missed long",
+    )
+    p2 = policy_recover(p1, clean, recover_factor=2.0)
+    out2 = {r["host"]: (r["crawl_delay"], r["host_budget"]) for r in p2.collect()}
+    assert out2["blocked.com"] == (5.0, 8)   # fully back at base
+    assert out2["good.com"] == (5.0, 8)      # never backed off: unchanged
+    assert out2["idle.com"] == (5.0, 8)      # not fetched: untouched
+    # recovery never overshoots the baseline
+    p3 = policy_recover(p2, clean, recover_factor=2.0)
+    out3 = {r["host"]: (r["crawl_delay"], r["host_budget"]) for r in p3.collect()}
+    assert out3["blocked.com"] == (5.0, 8)
+
+
+def test_aimd_crawl_end_to_end(spark, fixture, tmp_path):
+    """Backoff + recovery together still converge and finish the corpus."""
+    from spider_spark import corpus as corpusmod
+
+    pages_pd, pages, seeds = fixture
+    policy = spark.createDataFrame(corpusmod.make_host_policy(pages_pd, host_budget=50))
+    s = crawl(spark, tmp_path / "wd_aimd", pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=8, backoff_factor=2.0,
+                          recover_factor=2.0))
+    assert s.n_done > 0
