@@ -89,6 +89,7 @@ HEADLINE = [
     "meta_robots_gate",      # round 2: in-page REP directives
     "warc_dedup_roundtrip",  # round 2: revisit-record dedup WARC sink
     "phrase_search",         # round 2: positional-index phrase intersection
+    "opic_scores",           # round 2: OPIC cash-propagation priorities
 ]
 
 

@@ -153,9 +153,13 @@ def crawl(
         if pagerank_fires:
             all_links = tables.read_appended(spark, workdir, "links", upto_round=rnd - 1)
             if all_links is not None:
-                frontier = apply_priority(
-                    frontier, pagerank(all_links, cfg.pagerank_alpha, cfg.pagerank_iters)
-                )
+                if cfg.priority_source == "opic":
+                    from spider_spark.pagerank import opic_cash
+
+                    ranks = opic_cash(all_links, iters=cfg.pagerank_iters)
+                else:
+                    ranks = pagerank(all_links, cfg.pagerank_alpha, cfg.pagerank_iters)
+                frontier = apply_priority(frontier, ranks)
 
         result: RoundResult = run_round(
             spark, frontier, pages, policy, rnd, round_cfg,

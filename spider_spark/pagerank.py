@@ -230,3 +230,64 @@ def apply_priority(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
         .withColumn("priority", F.when(F.col("rank").isNotNull(), -F.col("rank")).otherwise(F.col("priority")))
         .drop("rank")
     )
+
+
+def opic_cash(links: DataFrame, iters: int = 5) -> DataFrame:
+    """Synchronous OPIC — Adaptive On-line Page Importance Computation
+    (Abiteboul, Preda, Cobena, WWW 2003 — public): every node starts with
+    cash 1/n; each step a node distributes ALL its cash equally along its
+    out-edges (dangling nodes give theirs to every node via the paper's
+    virtual node) and banks the distributed amount in its history.
+    Importance estimate after T steps = history + cash — unlike PageRank
+    it needs no damping parameter and converges while the crawl runs,
+    which is why crawlers (Heritrix's OPIC variant) use it as the frontier
+    priority: ``apply_priority`` accepts the output unchanged via the
+    ``rank`` column.
+
+    Scale shape: identical to pagerank() — one Exchange(dst) contribution
+    agg + a broadcast-able out-degree join + an O(1)-byte dangling scalar
+    collect per iteration; state (url, cash, hist) rides one DataFrame,
+    lineage cut per iteration."""
+    edges = links.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    nodes = edges.select(F.col("src").alias("url")).union(
+        edges.select(F.col("dst").alias("url"))
+    ).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return links.sparkSession.createDataFrame([], "url string, rank double")
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
+    state = nodes.select(
+        "url", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for _ in range(iters):
+        received = (
+            edges.join(state.select(F.col("url").alias("src"), "cash"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("url"), (F.col("cash") / F.col("od")).alias("c"))
+            .groupBy("url")
+            .agg(F.sum("c").alias("received"))
+        )
+        dangling = (
+            state.join(outdeg, state.url == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        state = (
+            state.join(received, "url", "left")
+            .select(
+                "url",
+                (F.coalesce(F.col("received"), F.lit(0.0))
+                 + F.lit(dangling / n)).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=False)  # truncate iterative lineage
+        )
+    out = state.select("url", (F.col("hist") + F.col("cash")).alias("rank"))
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    return out

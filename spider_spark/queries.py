@@ -4170,3 +4170,54 @@ def phrase_search(spark, sf_dir):
     generate_series + 1-based ws[i] walk), so positions, counts, and the
     0- vs 1-based offset are all value-checked."""
     return textops.phrase_hits(T(spark, sf_dir, "documents"), "table value")
+
+
+def _opic_oracle(iters: int = 5, edges_sql: str = _LINEITEM_EDGES_SQL) -> str:
+    """Unrolled synchronous-OPIC CTE chain: per step, cash flows along
+    out-edges (dangling cash spread uniformly via the virtual node) and
+    history banks the distributed amount. MATERIALIZED per level (each
+    state is referenced by the contribution join, the dangling sum, and
+    the next state)."""
+    pre = f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+    outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    s0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist FROM nodes)"""
+    parts = [pre]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    c{i} AS MATERIALIZED (SELECT e.dst AS url, sum(s.cash / o.od) AS received
+             FROM edges e JOIN s{p} s ON s.url = e.src JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT coalesce(sum(s.cash), 0) AS d FROM s{p} s
+             WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = s.url)),
+    s{i} AS MATERIALIZED (SELECT n.url,
+                    coalesce(c.received, 0) + (SELECT d FROM d{i}) / (SELECT n FROM nn) AS cash,
+                    s.hist + s.cash AS hist
+             FROM nodes n LEFT JOIN c{i} c ON c.url = n.url
+             JOIN s{p} s ON s.url = n.url)""")
+    return (
+        ",".join(parts)
+        + f"\n    SELECT url AS node, round(hist + cash, 8) AS rank FROM s{iters}"
+    )
+
+
+@q("opic_scores", _opic_oracle())
+def opic_scores(spark, sf_dir):
+    """Synchronous OPIC cash propagation (pagerank.opic_cash — Abiteboul
+    et al. WWW'03): 5 steps over the supplier→part graph, importance =
+    history + cash. The damping-free, converges-while-you-crawl priority
+    signal Heritrix-style schedulers use; pluggable into apply_priority
+    like pagerank/trustrank. Oracle = unrolled materialized CTE chain."""
+    from spider_spark.pagerank import opic_cash
+
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("string").alias("src"),
+        (F.col("l_partkey") % 100).cast("string").alias("dst"),
+    ).distinct()
+    return opic_cash(edges, iters=5).select(
+        F.col("url").alias("node"), F.round("rank", 8).alias("rank")
+    )

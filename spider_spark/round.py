@@ -59,6 +59,11 @@ class CrawlConfig:
     bloom_buckets: int = 32
     bloom_fpp: float = 0.01
     pagerank_every: int = 0     # 0 = off; reference cadence 1200s (master.py:15)
+    priority_source: str = "pagerank"  # reprioritization signal when
+                                       # pagerank_every fires: "pagerank"
+                                       # (reference parity) or "opic"
+                                       # (damping-free cash propagation,
+                                       # Abiteboul WWW'03)
     pagerank_alpha: float = 0.9  # nx.pagerank(g, 0.9) (master.py:142)
     pagerank_iters: int = 10
     write_coalesce: int = 0     # >0: coalesce snapshot tables to N files —

@@ -38,3 +38,36 @@ def test_hits_l1_normalized(spark):
 def test_hits_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert hits(df, iters=2).count() == 0
+
+
+# ------------------------------------------------------------ OPIC cash
+
+def test_opic_conservation_and_hub_preference(spark):
+    """Σ(hist+cash) after T steps = T+1 (unit cash conserved, one unit
+    banked per step), and a node pointed at by everyone out-earns a leaf."""
+    from spider_spark.pagerank import opic_cash
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("a", "leaf")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["url"]: r["rank"] for r in opic_cash(df, iters=4).collect()}
+    assert abs(sum(out.values()) - 5.0) < 1e-9
+    assert out["hub"] > out["leaf"]
+
+
+def test_opic_in_crawl_loop(spark, tmp_path):
+    """priority_source='opic' drives the reprioritization hook end-to-end."""
+    from spider_spark import corpus, tables
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+
+    pages_pd = corpus.make_pages(n_pages=120, n_hosts=6, seed=11)
+    seeds = list(zip(*(corpus.make_seeds(pages_pd)[c] for c in ("url", "depth"))))
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    s = crawl(spark, str(tmp_path / "wd"), pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=8, pagerank_every=2,
+                          priority_source="opic"))
+    assert s.n_done > 0
+    fr = tables.read_table(spark, str(tmp_path / "wd"), tables.latest_round(str(tmp_path / "wd")), "frontier")
+    # reprioritized rows carry negated OPIC scores (non-integer priorities)
+    assert fr.where("priority < 0").count() > 0
