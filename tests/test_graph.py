@@ -69,3 +69,35 @@ def test_dedup_cluster_reps_survivor_flags(spark):
         2: (2, True), 6: (2, False),
         4: (4, True),
     }
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    """Seeded 300-edge random graph vs an independent pure-Python
+    union-find — catches star-step bookkeeping errors no hand-built
+    topology would."""
+    import random
+
+    rng = random.Random(1234)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a != b:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in sorted(touched)}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rep"] for r in connected_components(df).collect()}
+    assert got == expected

@@ -628,3 +628,30 @@ def test_phrase_hits_positions_and_repeats(spark):
     three = {r["doc_id"]: (r["n_hits"], r["first_pos"])
              for r in phrase_hits(docs, "on the cat").collect()}
     assert three == {1: (1, 3)}
+
+
+def test_phrase_hits_matches_python_reference(spark):
+    """Seeded random corpus over a tiny vocabulary vs a Python sliding
+    window — dense accidental matches stress the slot-vote intersection."""
+    import random
+
+    from spider_spark.textops import phrase_hits
+
+    rng = random.Random(77)
+    vocab = ["a", "b", "c"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(25)]
+    phrase = "a b a"
+    terms = phrase.split()
+
+    expected = {}
+    for i, text in docs:
+        toks = text.split()
+        starts = [s for s in range(len(toks) - len(terms) + 1)
+                  if toks[s:s + len(terms)] == terms]
+        if starts:
+            expected[i] = (len(starts), starts[0])
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_hits(df, phrase).collect()}
+    assert got == expected
