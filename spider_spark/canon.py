@@ -216,12 +216,23 @@ def absolutize_href_col(href: Column, base_url: Column) -> Column:
     auth = F.lower(F.try_parse_url(base_url, F.lit("AUTHORITY")))
     origin = F.concat(scheme, F.lit("://"), auth)
     path = F.coalesce(F.try_parse_url(base_url, F.lit("PATH")), F.lit("/"))
+    query = F.try_parse_url(base_url, F.lit("QUERY"))
+    base_noq = F.concat(origin, path)
+    base_nofrag = F.when(
+        query.isNotNull(), F.concat(base_noq, F.lit("?"), query)
+    ).otherwise(base_noq)
     dirp = F.regexp_replace(path, "[^/]*$", "")
     dirp = F.when(dirp == "", F.lit("/")).otherwise(dirp)
     return (
         F.when(href.isNull(), F.lit(None).cast("string"))
-        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        # any scheme-prefixed reference is absolute (RFC 3986 §4.3) —
+        # https://, mailto:, tel:, javascript: all pass through untouched
+        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        # query-only reference keeps the base PATH (§5.3), not its dir
+        .when(href.startswith("?"), F.concat(base_noq, href))
+        # fragment-only reference keeps base path AND query (§5.3)
+        .when(href.startswith("#"), F.concat(base_nofrag, href))
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(origin, dirp, href))
     )

@@ -497,10 +497,17 @@ def robots_directives_udf():
 # -------------------------------------------- in-page robots, JVM fast path
 # Token-exact by \b word boundaries: content="nofollowup" must not trip
 # ('nofollow' followed by a word char fails \b). 'none' implies both
-# noindex and nofollow per the REP meta spec.
+# noindex and nofollow per the REP meta spec. Attribute ORDER is free in
+# HTML (content-before-name is common), so name=robots is asserted with a
+# lookahead rather than positionally, and values may be quoted either way
+# or bare. Known fast-path limit (shared by every regex-over-markup
+# scanner): a directive inside an HTML comment still matches — the DOM
+# UDF (robots_directives_udf) is the exact surface; this path trades that
+# edge for zero-Python codegen in the crawl hot loop.
 _META_RE = (
-    r'(?i)<meta[^>]*name\s*=\s*["\']robots["\'][^>]*'
-    r'content\s*=\s*["\'][^"\']*\b{tok}\b'
+    r'(?i)<meta(?=[^>]*\bname\s*=\s*["\']?robots\b)[^>]*'
+    r'\bcontent\s*=\s*'
+    r'(?:"[^"]*\b{tok}\b|\'[^\']*\b{tok}\b|[^"\'\s>]*\b{tok}\b)'
 )
 META_NOINDEX_RE = _META_RE.format(tok="(?:noindex|none)")
 META_NOFOLLOW_RE = _META_RE.format(tok="(?:nofollow|none)")
@@ -531,6 +538,10 @@ def follow_links_col(html_str: Column) -> Column:
         tags,
         lambda t: ~t.rlike(r'(?i)rel\s*=\s*["\'][^"\']*\bnofollow\b'),
     )
-    return F.transform(
-        kept, lambda t: F.regexp_extract(t, r'href\s*=\s*"([^"]+)"', 1)
+    # (?i) on the inner extract too — <a HREF="..."> passed the outer scan
+    # and must not degrade to the no-match "" sentinel; empty hrefs
+    # (href="") are dropped rather than minted as ""-urls in the frontier.
+    hrefs = F.transform(
+        kept, lambda t: F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
     )
+    return F.filter(hrefs, lambda h: h != "")

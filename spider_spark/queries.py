@@ -2217,7 +2217,14 @@ def cc_star_contraction(spark, sf_dir):
     edges = d.where((did % 100 != 99) & (did + 1 < n)).select(
         did.alias("src"), (did + 1).alias("dst")
     )
-    return graph.connected_components(edges, max_iters=10)
+    cc = graph.connected_components(edges, max_iters=10)
+    # total over documents: a doc count of 1 mod 100 isolates the last doc
+    # (no in- or out-edge) — it must still get rep = itself, exactly the
+    # isolated-node coalesce dedup_cluster_reps applies
+    return d.join(cc, d.doc_id == cc.node, "left").select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep"),
+    )
 
 
 @q(

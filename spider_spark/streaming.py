@@ -262,8 +262,11 @@ def stream_content_seen(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(str(ingest_dir))
     return (
+        # sha2 over the RAW binary column — a string cast is lossy (all
+        # invalid-UTF-8 bytes map to U+FFFD, so byte-distinct payloads
+        # could collide and a real capture would be dropped)
         stream.withColumn(
-            "digest", F.substring(F.sha2(F.col("html").cast("string"), 256), 1, 16)
+            "digest", F.substring(F.sha2(F.col("html"), 256), 1, 16)
         )
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["digest"])

@@ -104,7 +104,6 @@ def write_warc(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    n_parts = df.rdd.getNumPartitions()
 
     def _write(it):
         from pyspark import TaskContext
@@ -122,8 +121,13 @@ def write_warc(
                 f.write(serialize_warc(iter(rows)))
             os.rename(tmp, path)  # atomic publish: readers never see partials
 
-    df.select(url_col, ts_col, text_col).foreachPartition(_write)
-    return n_parts
+    # ONE .rdd conversion serves both the partition count and the write:
+    # under AQE, df.rdd materializes the plan's shuffle stages just to
+    # learn the final partitioning, so a second df.foreachPartition would
+    # re-execute the whole plan from the scan.
+    rdd = df.select(url_col, ts_col, text_col).rdd
+    rdd.foreachPartition(_write)
+    return rdd.getNumPartitions()
 
 
 def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
@@ -221,7 +225,6 @@ def write_warc_deduped(
 
     os.makedirs(out_dir, exist_ok=True)
     seen = content_seen(df, url_col=url_col, ts_col=ts_col, html_col=text_col)
-    n_parts = seen.rdd.getNumPartitions()
 
     def _fmt(ts) -> str:
         return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
@@ -252,6 +255,8 @@ def write_warc_deduped(
                 f.write(serialize_warc(iter(rows)))
             os.rename(tmp, path)
 
-    seen.select(url_col, ts_col, text_col, "digest", "is_first_seen",
-                "dup_of_url", "dup_of_ts").foreachPartition(_write)
-    return n_parts
+    # one .rdd conversion for both uses — see write_warc for why
+    rdd = seen.select(url_col, ts_col, text_col, "digest", "is_first_seen",
+                      "dup_of_url", "dup_of_ts").rdd
+    rdd.foreachPartition(_write)
+    return rdd.getNumPartitions()

@@ -404,13 +404,18 @@ def mirror_host_pairs(
     evidence — Bharat-Broder drop over-popular shingles for exactly this
     reason. ``min_digests`` suppresses hosts too small to call mirrors.
     """
-    # persist at both fan-out points: hd is referenced by the hot-digest
-    # cap AND the cap survivors feed sizes + both join sides — without the
-    # persist every reference re-executes the full capture scan + distinct
-    # (measured 48 scans / 46 exchanges on the fixture plan; 1 scan with it)
+    from spider_spark.canon import host_col
+
+    # ONE persist at the fan-out point: hd feeds the hot-digest cap, the
+    # size table, and both self-join sides — without it every reference
+    # re-executes the full capture scan + distinct (measured 48 scans on
+    # the fixture plan; 1 with it). The cap anti-join downstream is a
+    # broadcast over this cache, cheap to re-derive, so it is NOT persisted
+    # a second time (a lazy operator can't unpersist before the caller's
+    # action; one pinned cache per call is the budget).
     hd = (
         captures.select(
-            F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+            host_col(F.col(url_col)).alias("host"),
             F.substring(F.sha2(F.col(html_col), 256), 1, 16).alias("digest"),
         )
         .where(F.col("host").isNotNull())
@@ -424,7 +429,7 @@ def mirror_host_pairs(
             .where(F.col("nh") > max_hosts_per_digest)
             .select("digest")
         )
-        hd = hd.join(F.broadcast(hot), "digest", "left_anti").persist()
+        hd = hd.join(F.broadcast(hot), "digest", "left_anti")
     sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n_dg")).where(
         F.col("n_dg") >= min_digests
     )
@@ -536,7 +541,9 @@ def url_templates(urls: DataFrame, url_col: str = "url",
     trap_feature_cols) and crawl planning (a 10^6-URL template crawled at
     depth 2 is a database dump, not content). One groupBy shuffle on
     (host, template); the regex runs in codegen, no UDF."""
-    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    from spider_spark.canon import host_col
+
+    host = host_col(F.col(url_col))
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     tmpl = F.regexp_replace(path, "[0-9]+", "{d}")
     return (

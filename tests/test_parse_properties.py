@@ -193,3 +193,38 @@ def test_robots_directives_tokens_and_link_filter(spark):
     assert out["u3"] == (False, True, [])
     assert out["u4"] == (True, True, [])
     assert out["u5"] == (False, False, ["/f"])
+
+
+def test_meta_robots_jvm_fast_path_attribute_variants(spark):
+    """The codegen regex path must agree with the DOM UDF on real-HTML
+    attribute variation: reversed attribute order, unquoted values,
+    uppercase names — and still reject token near-misses."""
+    from pyspark.sql import functions as F
+    from spider_spark.parse import (
+        follow_links_col, meta_nofollow_col, meta_noindex_col,
+    )
+
+    rows = [
+        ("rev", '<html><head><meta content="noindex, nofollow" name="robots"></head></html>'),
+        ("unq", '<html><head><meta name=robots content=noindex,nofollow></head></html>'),
+        ("upper", '<html><head><META NAME="ROBOTS" CONTENT="NONE"></head></html>'),
+        ("miss", '<html><head><meta name="robots" content="nofollowup"></head></html>'),
+        ("other", '<html><head><meta name="viewport" content="noindex"></head></html>'),
+    ]
+    df = spark.createDataFrame(rows, "k string, html string")
+    out = {r["k"]: (r["ni"], r["nf"]) for r in df.select(
+        "k", meta_noindex_col(F.col("html")).alias("ni"),
+        meta_nofollow_col(F.col("html")).alias("nf")).collect()}
+    assert out["rev"] == (True, True)
+    assert out["unq"] == (True, True)
+    assert out["upper"] == (True, True)
+    assert out["miss"] == (False, False)
+    assert out["other"] == (False, False)
+
+    # uppercase HREF kept; empty href dropped, never a "" url
+    links = df.where("k = 'miss'").select(
+        follow_links_col(F.lit(
+            '<html><body><a HREF="/up">u</a><a href="">e</a>'
+            '<a rel="nofollow" href="/no">n</a></body></html>'
+        )).alias("l")).collect()[0]["l"]
+    assert links == ["/up"]

@@ -376,3 +376,25 @@ def test_url_templates_counts_and_example(spark):
         6, "https://shop.example.com/product/17/review/1")
     assert out[("shop.example.com", "/about")] == (1, "https://shop.example.com/about")
     assert out[("blog.example.com", "/post/{d}")][0] == 1
+
+
+def test_absolutize_rfc3986_query_fragment_scheme(spark):
+    from spider_spark.canon import absolutize_href_col
+    import pyspark.sql.functions as F
+
+    base = "https://h.example.com/a/b/page.html?k=1"
+    rows = [
+        (base, "?page=all"),   # query-only: keep base PATH
+        (base, "#top"),        # fragment-only: keep path AND query
+        (base, "mailto:x@y.example"),  # scheme without //: absolute
+        (base, "tel:+15551234"),
+    ]
+    df = spark.createDataFrame(rows, "base string, href string")
+    out = [r["abs"] for r in df.select(
+        absolutize_href_col(F.col("href"), F.col("base")).alias("abs")).collect()]
+    assert out == [
+        "https://h.example.com/a/b/page.html?page=all",
+        "https://h.example.com/a/b/page.html?k=1#top",
+        "mailto:x@y.example",
+        "tel:+15551234",
+    ]
