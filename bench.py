@@ -90,6 +90,7 @@ HEADLINE = [
     "warc_dedup_roundtrip",  # round 2: revisit-record dedup WARC sink
     "phrase_search",         # round 2: positional-index phrase intersection
     "opic_scores",           # round 2: OPIC cash-propagation priorities
+    "sitemap_staleness",     # round 2: lastmod-driven conditional recrawl
 ]
 
 

@@ -4228,3 +4228,63 @@ def opic_scores(spark, sf_dir):
     return opic_cash(edges, iters=5).select(
         F.col("url").alias("node"), F.round("rank", 8).alias("rank")
     )
+
+
+@q(
+    "sitemap_staleness",
+    """
+    WITH sm AS (
+      SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/d/' || doc_id::VARCHAR AS url,
+             doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN make_timestamp(2024, 3, (doc_id % 28 + 1)::BIGINT, 0, 0, 0.0)
+               WHEN 1 THEN make_timestamp(2024, 3, (doc_id % 28 + 1)::BIGINT, 12, 0, 0.0)
+               ELSE NULL END AS lastmod_ts
+      FROM documents),
+    j AS (
+      SELECT url, lastmod_ts,
+             CASE WHEN doc_id % 2 = 0
+                  THEN make_timestamp(2024, 3, 15, 0, 0, 0.0) END AS cap_ts
+      FROM sm)
+    SELECT url,
+           CASE WHEN cap_ts IS NULL THEN 'never_captured'
+                WHEN lastmod_ts IS NOT NULL AND lastmod_ts > cap_ts THEN 'modified'
+                ELSE 'fresh' END AS reason,
+           CASE WHEN cap_ts IS NULL THEN true
+                WHEN lastmod_ts IS NOT NULL AND lastmod_ts > cap_ts THEN true
+                ELSE false END AS is_stale,
+           coalesce(strftime(lastmod_ts, '%Y-%m-%d %H:%M:%S'), '') AS lastmod_s,
+           coalesce(strftime(cap_ts, '%Y-%m-%d %H:%M:%S'), '') AS last_capture_s
+    FROM j
+    """,
+)
+def sitemap_staleness_q(spark, sf_dir):
+    """Sitemap-lastmod-driven conditional recrawl (webindex.sitemap_
+    staleness): urlset entries carry W3C-datetime lastmod claims in two
+    formats (date-only at 3|id, full ISO-with-Z at 3|id+1, none at
+    3|id+2); the archive holds a 2024-03-15 capture for even ids only.
+    The engine must parse both formats, join the latest capture, and
+    route each url to never_captured / modified / fresh — the oracle is
+    the closed form of the plants (UTC session, so the Z-suffix parse is
+    exact)."""
+    did = F.col("doc_id")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                   F.lit(".example.com/d/"), did.cast("string"))
+    day = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    lastmod = (
+        F.when(did % 3 == 0, F.concat(F.lit("2024-03-"), day))
+        .when(did % 3 == 1, F.concat(F.lit("2024-03-"), day, F.lit("T12:00:00Z")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    seeds = d.select(url.alias("url"), lastmod.alias("lastmod"))
+    caps = d.where(did % 2 == 0).select(
+        url.alias("url"),
+        F.lit("2024-03-15 00:00:00").cast("timestamp").alias("warc_ts"),
+    )
+    out = webindex.sitemap_staleness(seeds, caps)
+    return out.select(
+        "url", "reason", "is_stale",
+        F.coalesce(F.date_format("lastmod_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")).alias("lastmod_s"),
+        F.coalesce(F.date_format("last_capture_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")).alias("last_capture_s"),
+    )

@@ -555,3 +555,56 @@ def url_templates(urls: DataFrame, url_col: str = "url",
              F.min("url").alias("example_url"))
         .where(F.col("n_urls") >= min_count)
     )
+
+
+# ------------------------------------------------ sitemap-driven recrawl
+
+def sitemap_staleness(
+    seeds: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Conditional recrawl from sitemap metadata: a <urlset> entry's
+    ``lastmod`` (sitemaps.org protocol, W3C datetime) compared against the
+    archive's latest capture of that URL. Returns (url, lastmod_ts,
+    last_capture_ts, is_stale, reason):
+
+    - never_captured — in the sitemap, not in the archive: fetch first.
+    - modified — lastmod after the last capture: publisher says it changed.
+    - fresh — captured at/after lastmod (or no lastmod claim): spend the
+      politeness budget elsewhere; recrawl_priority's change-rate tiers
+      take over for these.
+
+    This is the sitemap half of incremental crawling (the other half is
+    the Cho-Garcia-Molina estimator in recrawl_priority): trust but bound
+    the publisher's claim — lastmod only ever PROMOTES a fetch, never
+    suppresses one the change-rate tier would schedule.
+
+    One groupBy(url) max-ts agg on the capture side + one left join; the
+    sitemap side is tiny relative to the archive. try_to_timestamp: a
+    malformed lastmod is NULL ⇒ 'fresh' (no claim), never a throw."""
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(F.col(lastmod_col)),
+        F.try_to_timestamp(F.col(lastmod_col), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(F.col(lastmod_col), F.lit("yyyy-MM-dd")),
+    )
+    sm = seeds.select(F.col(url_col).alias("url"), lastmod_ts.alias("lastmod_ts"))
+    last_cap = captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(ts_col).alias("last_capture_ts")
+    )
+    joined = sm.join(last_cap, "url", "left")
+    reason = (
+        F.when(F.col("last_capture_ts").isNull(), F.lit("never_captured"))
+        .when(
+            F.col("lastmod_ts").isNotNull()
+            & (F.col("lastmod_ts") > F.col("last_capture_ts")),
+            F.lit("modified"),
+        )
+        .otherwise(F.lit("fresh"))
+    )
+    return joined.select(
+        "url", "lastmod_ts", "last_capture_ts",
+        (reason != "fresh").alias("is_stale"), reason.alias("reason"),
+    )

@@ -398,3 +398,34 @@ def test_absolutize_rfc3986_query_fragment_scheme(spark):
         "mailto:x@y.example",
         "tel:+15551234",
     ]
+
+
+# -------------------------------------------- sitemap-driven recrawl
+
+def test_sitemap_staleness_reasons(spark):
+    from spider_spark.webindex import sitemap_staleness
+
+    seeds = spark.createDataFrame(
+        [
+            ("https://h/a", "2024-04-01"),            # modified after capture
+            ("https://h/b", "2024-03-01T09:00:00Z"),  # before capture: fresh
+            ("https://h/c", "2024-04-01"),            # never captured
+            ("https://h/d", "not-a-date"),            # malformed claim: fresh
+            ("https://h/e", None),                    # no claim: fresh
+        ],
+        "url string, lastmod string",
+    )
+    caps = spark.createDataFrame(
+        [("https://h/a", "2024-03-15 00:00:00"),
+         ("https://h/b", "2024-03-15 00:00:00"),
+         ("https://h/d", "2024-03-15 00:00:00"),
+         ("https://h/e", "2024-03-15 00:00:00")],
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = {r["url"]: (r["reason"], r["is_stale"])
+           for r in sitemap_staleness(seeds, caps).collect()}
+    assert out["https://h/a"] == ("modified", True)
+    assert out["https://h/b"] == ("fresh", False)
+    assert out["https://h/c"] == ("never_captured", True)
+    assert out["https://h/d"] == ("fresh", False)
+    assert out["https://h/e"] == ("fresh", False)
