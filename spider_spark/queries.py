@@ -3075,13 +3075,21 @@ _CRAWL_ORACLE = """
 """
 
 
-def _doc_pages(spark: SparkSession, sf_dir: str, limit: int | None = None):
+def _doc_pages(spark: SparkSession, sf_dir: str, limit: int | None = None,
+               rep: bool = False):
     """Deterministic corpus from the documents table: doc i links to
-    (7i+k) % N for k∈{1,2,3}; 13 hosts. Returns (pages, seeds, policy, n)."""
+    (7i+k) % N for k∈{1,2,3}; 13 hosts. Returns (pages, seeds, policy, n).
+
+    rep=True plants in-page REP directives with closed-form residues so a
+    directive-honoring crawl stays SQL-oracle-able: 5|id pages declare
+    noindex, 11|id+4 pages declare page-level nofollow (their three links
+    must not enter the frontier), and the k=2 anchor carries
+    rel="nofollow" on 7|id+3 pages (that one edge must be dropped)."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     if limit is not None:
         docs = docs.where(F.col("doc_id") < limit)
     n = docs.count()
+    did = F.col("doc_id")
 
     def url_expr(doc):
         return F.concat(
@@ -3089,14 +3097,29 @@ def _doc_pages(spark: SparkSession, sf_dir: str, limit: int | None = None):
             F.lit(".docs.example.com/d/"), doc.cast("string"),
         )
 
+    def rel_expr(k):
+        if rep and k == 2:
+            return F.when(did % 7 == 3, F.lit(' rel="nofollow"')).otherwise(F.lit(""))
+        return F.lit("")
+
     anchors = [
-        F.concat(F.lit('<a href="'), url_expr((F.col("doc_id") * 7 + k) % n), F.lit('">l</a>'))
+        F.concat(F.lit("<a"), rel_expr(k), F.lit(' href="'),
+                 url_expr((F.col("doc_id") * 7 + k) % n), F.lit('">l</a>'))
         for k in (1, 2, 3)
     ]
+    meta = F.lit("")
+    if rep:
+        meta = (
+            F.when((did % 5 == 0) & (did % 11 == 4),
+                   F.lit('<meta name="robots" content="noindex, nofollow">'))
+            .when(did % 5 == 0, F.lit('<meta name="robots" content="noindex">'))
+            .when(did % 11 == 4, F.lit('<meta name="robots" content="nofollow">'))
+            .otherwise(F.lit(""))
+        )
     html = F.concat(
         F.lit("<html><head><title>D"), F.col("doc_id").cast("string"),
-        F.lit("</title></head><body><p>"), F.col("text"), F.lit("</p>"),
-        *anchors, F.lit("</body></html>"),
+        F.lit("</title>"), meta, F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p>"), *anchors, F.lit("</body></html>"),
     )
     pages = docs.select(
         url_expr(F.col("doc_id")).alias("url"), F.encode(html, "UTF-8").alias("html")
@@ -4287,4 +4310,57 @@ def sitemap_staleness_q(spark, sf_dir):
         "url", "reason", "is_stale",
         F.coalesce(F.date_format("lastmod_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")).alias("lastmod_s"),
         F.coalesce(F.date_format("last_capture_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")).alias("last_capture_s"),
+    )
+
+
+_CRAWL_REP_ORACLE = """
+    WITH RECURSIVE d240 AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+    nn AS (SELECT count(*)::BIGINT AS c FROM d240),
+    reach(doc, d) AS (
+      SELECT doc, d FROM (VALUES (0::BIGINT, 0), (1::BIGINT, 0), (2::BIGINT, 0)) t(doc, d)
+      UNION
+      SELECT (7 * r.doc + k.k) % (SELECT c FROM nn), r.d + 1
+      FROM reach r, (VALUES (1), (2), (3)) k(k)
+      WHERE r.d < 40
+        AND r.doc % 11 != 4                    -- page-level nofollow: no edges out
+        AND NOT (k.k = 2 AND r.doc % 7 = 3))   -- per-link rel=nofollow
+    SELECT doc AS doc_id, min(d) AS depth, min(d) + 1 AS fetched_round,
+           (doc % 5 != 0) AS indexed
+    FROM reach GROUP BY doc
+"""
+
+
+@q("crawl_docs_rep", _CRAWL_REP_ORACLE)
+def crawl_docs_rep(spark, sf_dir):
+    """The flagship crawl with honor_meta_robots=True over a corpus with
+    planted REP directives (see _doc_pages rep=True): the BFS fixpoint
+    stays SQL-expressible because the directives prune edges by closed-form
+    residue — page-level nofollow removes a page's three out-edges,
+    rel=nofollow removes the k=2 edge on 7|id+3 pages, and noindex keeps a
+    FETCHED page out of the items sink (the ``indexed`` column joins the
+    items table back against the frontier). The strongest kind of evidence
+    that the in-loop REP gates compose with first-wins dedup, depth
+    assignment, and round scheduling — not just with a unit fixture."""
+    pages, seeds, policy, n = _doc_pages(spark, sf_dir, limit=240, rep=True)
+    pages = pages.persist()
+    workdir = tempfile.mkdtemp(prefix="crawl_rep_")
+    summary = crawl(
+        spark, workdir, pages, seeds, policy,
+        CrawlConfig(max_rounds=45, use_bloom=False, n_salt=4, write_coalesce=4,
+                    seq_mode="hash", honor_meta_robots=True),
+    )
+    pages.unpersist()
+    frontier = tbl.read_table(spark, workdir, summary.last_round, "frontier")
+    items = tbl.read_appended(spark, workdir, "items").select(
+        "url", F.lit(True).alias("_indexed")
+    )
+    return (
+        frontier.where(F.col("status") == "done")
+        .join(items, "url", "left")
+        .select(
+            F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("fetched_round").cast("int").alias("fetched_round"),
+            F.coalesce(F.col("_indexed"), F.lit(False)).alias("indexed"),
+        )
     )
