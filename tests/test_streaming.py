@@ -240,3 +240,32 @@ def test_stream_content_seen_dedups_mirror_bytes(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.url for r in spark.sql("select url from cs").collect()}
     assert got == {"https://a.example.com/1", "https://d.example.com/u"}
+
+
+def test_stream_content_seen_distinguishes_invalid_utf8_bytes(spark, tmp_path):
+    """Byte-distinct payloads whose invalid-UTF-8 bytes would collide under
+    a string cast (both map to U+FFFD) must BOTH pass — the digest hashes
+    raw bytes, never a lossy decode."""
+    import pandas as pd
+
+    ingest = tmp_path / "in_bin"
+    ingest.mkdir()
+    t0 = pd.Timestamp("2026-02-01 10:00:00")
+    rows = [
+        ("https://a.example.com/1", t0, b"<html>\x80</html>"),
+        ("https://b.example.com/1", t0 + pd.Timedelta("1 min"), b"<html>\xfe</html>"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+    ).coalesce(1).write.mode("overwrite").parquet(str(ingest))
+
+    out = streaming.stream_content_seen(spark, ingest, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("csb")
+        .option("checkpointLocation", str(tmp_path / "ck_bin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) n from csb").collect()[0]["n"] == 2
