@@ -91,7 +91,6 @@ HEADLINE = [
     "phrase_search",         # round 2: positional-index phrase intersection
     "opic_scores",           # round 2: OPIC cash-propagation priorities
     "sitemap_staleness",     # round 2: lastmod-driven conditional recrawl
-    "crawl_docs_rep",        # round 2: REP-gated flagship crawl (BFS CTE oracle)
 ]
 
 
