@@ -101,3 +101,12 @@ def test_cc_matches_union_find_on_random_graph(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["rep"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_dedup_cluster_reps_no_pairs(spark):
+    """Empty pair list: every doc is its own survivor."""
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    rows = {r["doc_id"]: (r["rep"], r["is_survivor"])
+            for r in dedup_cluster_reps(docs, pairs).collect()}
+    assert rows == {i: (i, True) for i in range(4)}

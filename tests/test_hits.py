@@ -71,3 +71,10 @@ def test_opic_in_crawl_loop(spark, tmp_path):
     fr = tables.read_table(spark, str(tmp_path / "wd"), tables.latest_round(str(tmp_path / "wd")), "frontier")
     # reprioritized rows carry negated OPIC scores (non-integer priorities)
     assert fr.where("priority < 0").count() > 0
+
+
+def test_opic_empty_graph(spark):
+    from spider_spark.pagerank import opic_cash
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assert opic_cash(df, iters=2).count() == 0
