@@ -76,3 +76,30 @@ def test_redirect_resolve_no_cartesian_no_python(spark):
     e = explain(QUERIES["redirect_resolve"](spark, SF_DIR))
     assert "CartesianProduct" not in e and "BroadcastNestedLoopJoin" not in e
     assert "PythonUDF" not in e
+
+
+def test_rep_gates_add_no_python_to_the_round(spark, tmp_path):
+    """honor_meta_robots must ride the codegen'd parse project: the round's
+    frontier plan gains no Arrow/Python stage vs the default config."""
+    from spider_spark import corpus
+    from spider_spark.round import CrawlConfig, run_round, seeds_to_frontier
+
+    pages_pd = corpus.make_pages(n_pages=30, n_hosts=3, seed=1)
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    frontier = seeds_to_frontier(spark, [(pages_pd["url"].iloc[0], 0)])
+    counts = {}
+    for flag in (False, True):
+        res = run_round(spark, frontier, pages, policy, 1,
+                        CrawlConfig(honor_meta_robots=flag))
+        e = explain(res.frontier)
+        # the only sanctioned Python stage is compile_policy's Arrow UDF
+        # over the POLICY-sized table (pre-compiled once per crawl in the
+        # real loop); the html-sized parse path must stay codegen
+        # plan STRING occurrences over-count (cached subtrees re-print the
+        # one policy stage), so the check is differential: REP on must add
+        # zero Python occurrences relative to REP off
+        counts[flag] = e.count("ArrowEvalPython") + e.count("BatchEvalPython")
+        for df in res.cached:
+            df.unpersist()
+    assert counts[True] == counts[False]
