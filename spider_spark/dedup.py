@@ -115,7 +115,9 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
 
 
 def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      restrict_pairs: DataFrame | None = None,
+                      max_df: int | None = None) -> DataFrame:
     """Asymmetric n-gram containment: pairs (a_id, b_id) where
     |S(a) ∩ S(b)| / |S(a)| ≥ threshold — "a is (nearly) contained in b".
 
@@ -128,11 +130,35 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
 
     Same shuffle shape as jaccard_pairs (shingle self-join — only docs
     sharing a shingle pair up; one groupBy on (a,b)); emitted both
-    directions since containment is directional. Scale path: restrict the
-    self-join to MinHash-LSH candidates exactly as minhash_lsh_pairs does —
-    containment ≥ t implies Jaccard ≥ t·|A|/(|A|+|B|), so LSH at a lower
-    band threshold still bounds the candidate set."""
+    directions since containment is directional. Scale path
+    (containment_pairs_lsh): restrict the self-join to MinHash-LSH
+    candidates exactly as minhash_lsh_pairs does — containment ≥ t with
+    size ratio |B| ≤ r·|A| implies Jaccard ≥ t/(1+r−t), so LSH at that
+    lower band threshold still bounds the candidate set.
+
+    restrict_pairs (a_id, b_id — unordered; both orientations verified):
+    only these pairs are scored, and only their docs are ever shingled.
+
+    max_df: drop shingles appearing in more than max_df documents before
+    anything downstream (see jaccard_pairs — same cap, same rationale:
+    a boilerplate shingle shared by 10^6 docs is a 10^12-row join on its
+    own; the result on any corpus with no hot shingles is untouched)."""
     sh = shingle_table(docs, n, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct(id_col).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if restrict_pairs is not None:
+        cand_docs = (
+            restrict_pairs.select(F.col("a_id").alias(id_col))
+            .unionByName(restrict_pairs.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, id_col, "left_semi").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
@@ -145,6 +171,14 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if restrict_pairs is not None:
+        # candidates are unordered; normalize to the a<b orientation the
+        # single-pass join uses (both directions re-emerge from the explode)
+        norm = restrict_pairs.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        ).distinct()
+        inter_lt = inter_lt.join(norm, ["a_id", "b_id"], "left_semi")
     # both directions from ONE pass: explode a 2-struct array rather than
     # union the swapped branch (a union re-executes the join lineage twice)
     inter = inter_lt.select(
@@ -310,6 +344,27 @@ def minhash_lsh_pairs(
     # xxhash64 skips the null, every signature degenerates to hash(seed_i)
     # — all empties collide with each other and nothing else, and exact
     # verification drops them anyway.
+    cand = lsh_candidates(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
+                          id_col=id_col, text_col=text_col)
+    # exact verify ONLY on candidate pairs — the full-corpus shingle join
+    # would redo the work LSH exists to avoid
+    return jaccard_pairs(docs, threshold, n, id_col, text_col, restrict_pairs=cand)
+
+
+def lsh_candidates(docs: DataFrame, n: int = 3, n_hashes: int = 128,
+                   n_bands: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_df: int | None = None) -> DataFrame:
+    """MinHash signatures → band buckets → candidate (a_id, b_id) pairs
+    (a<b, distinct, materialized). The shared candidate generator behind
+    minhash_lsh_pairs and containment_pairs_lsh — see minhash_lsh_pairs
+    for the plan rationale (one exploded scan, 128 codegen'd hashes, one
+    band_key shuffle, never quadratic).
+
+    max_df drops hot shingles BEFORE signatures, so the signature space
+    matches a max_df-capped exact verify AND hot boilerplate shingles
+    cannot concentrate band buckets (a shingle shared by 10^6 docs makes
+    every one of them collide in the bands its min-hash wins)."""
     rows_per_band = n_hashes // n_bands
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     toks = docs.repartition(n_part, F.col(id_col)).select(
@@ -317,6 +372,14 @@ def minhash_lsh_pairs(
     )
     grams = toks.select("doc_id", textops.grams_col(F.col("toks"), n).alias("grams"))
     ex = grams.select("doc_id", F.explode_outer("grams").alias("g"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") > max_df).select("g")
+        )
+        # left_anti on null g keeps the row (explode_outer empty-doc
+        # sentinel survives, matching the uncapped path)
+        ex = ex.join(F.broadcast(hot), "g", "left_anti")
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"s{i}")
@@ -339,9 +402,49 @@ def minhash_lsh_pairs(
         .persist()
     )
     cand.count()  # materialize: the verify plan references cand three times
-    # exact verify ONLY on candidate pairs — the full-corpus shingle join
-    # would redo the work LSH exists to avoid
-    return jaccard_pairs(docs, threshold, n, id_col, text_col, restrict_pairs=cand)
+    buckets.unpersist()
+    return cand
+
+
+def containment_lsh_bands(threshold: float, max_size_ratio: float,
+                          n_hashes: int = 128,
+                          target_recall: float = 0.999) -> int:
+    """Band count for containment-via-LSH: containment ≥ t with
+    |B| ≤ r·|A| implies Jaccard ≥ j_min = t/(1+r−t) (Broder), so bands
+    tuned for j_min catch every in-ratio pair. Picks the FEWEST bands
+    (most rows per band ⇒ fewest bucket collisions) whose miss
+    probability (1−j_min^rows)^bands stays under 1−target_recall."""
+    j_min = threshold / (1.0 + max_size_ratio - threshold)
+    best = n_hashes  # rows=1: P(catch) = 1-(1-j)^n_hashes, max recall
+    for rows in range(n_hashes, 0, -1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        if 1.0 - (1.0 - j_min ** rows) ** bands >= target_recall:
+            best = bands
+            break
+    return best
+
+
+def containment_pairs_lsh(docs: DataFrame, threshold: float, n: int = 3,
+                          max_size_ratio: float = 8.0, n_hashes: int = 128,
+                          n_bands: int | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_df: int | None = None) -> DataFrame:
+    """LSH-candidate-restricted containment — the 100 TB path the
+    containment_pairs docstring promises: candidates from MinHash banding
+    at the LOWER Jaccard threshold t/(1+r−t) implied by containment ≥ t
+    under a size-ratio bound |B| ≤ r·|A|, exact containment verified only
+    on candidates. Web boilerplate supersets (the Broder containment use
+    case) live at small r; pairs beyond max_size_ratio carry no recall
+    guarantee (raise r, or size-bucket, when hunting 100:1 subsumption).
+    Never quadratic: bucket joins + a candidate-restricted shingle join."""
+    if n_bands is None:
+        n_bands = containment_lsh_bands(threshold, max_size_ratio, n_hashes)
+    cand = lsh_candidates(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
+                          id_col=id_col, text_col=text_col, max_df=max_df)
+    return containment_pairs(docs, threshold, n, id_col, text_col,
+                             restrict_pairs=cand, max_df=max_df)
 
 
 # ------------------------------------------------------------------ simhash

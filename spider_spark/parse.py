@@ -524,24 +524,29 @@ def meta_nofollow_col(html_str: Column) -> Column:
     return html_str.rlike(META_NOFOLLOW_RE)
 
 
+# An <a>/<area> open tag whose rel contains the nofollow token (quoted
+# either way or bare) — the only tags the rel=nofollow microformat applies
+# to; link/base/frame hrefs are never nofollow-capable.
+NOFOLLOW_TAG_RE = (
+    r"(?i)<(?:a|area)\s[^>]*\brel\s*=\s*"
+    r"(?:\"[^\"]*\bnofollow\b[^\"]*\"|'[^']*\bnofollow\b[^']*'"
+    r"|[^\"'\s>]*\bnofollow\b[^\"'\s>]*)"
+    r"[^>]*>"
+)
+
+
 def follow_links_col(html_str: Column) -> Column:
-    """Link discovery honoring per-link ``rel=nofollow``: extract whole
-    anchor open-tags, drop tags whose rel contains the nofollow token,
-    then pull each survivor's href — all builtin regex + higher-order
-    array functions (codegen, no Python workers). Document order is
-    preserved (regexp_extract_all scans left to right), so posexplode
-    first-wins semantics match links_col exactly on nofollow-free pages."""
-    tags = F.regexp_extract_all(
-        html_str, F.lit(r'(?i)(<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>)'), 1
+    """Link discovery honoring per-link ``rel=nofollow`` over the SAME
+    href surface as :func:`links_col` (every ``href="..."`` attribute —
+    link/area/base/frame as well as ``<a>``): nofollow'd ``<a>``/``<area>``
+    open tags are pre-stripped (only those tags are nofollow-capable per
+    the rel=nofollow microformat), then the whole document is scanned for
+    hrefs — all builtin regex (codegen, no Python workers). Document order
+    is preserved, so posexplode first-wins semantics match links_col on
+    nofollow-free pages; the scan here is additionally case-insensitive
+    (``HREF=``), a strict superset of links_col's lowercase pattern.
+    Empty hrefs (href="") never match, so no ""-urls enter the frontier."""
+    cleaned = F.regexp_replace(html_str, NOFOLLOW_TAG_RE, "<a>")
+    return F.regexp_extract_all(
+        cleaned, F.lit(r'(?i)href\s*=\s*"([^"]+)"'), 1
     )
-    kept = F.filter(
-        tags,
-        lambda t: ~t.rlike(r'(?i)rel\s*=\s*["\'][^"\']*\bnofollow\b'),
-    )
-    # (?i) on the inner extract too — <a HREF="..."> passed the outer scan
-    # and must not degrade to the no-match "" sentinel; empty hrefs
-    # (href="") are dropped rather than minted as ""-urls in the frontier.
-    hrefs = F.transform(
-        kept, lambda t: F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
-    )
-    return F.filter(hrefs, lambda h: h != "")

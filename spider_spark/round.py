@@ -136,6 +136,22 @@ class CrawlConfig:
                                 # single-frontier artifact the scheduler
                                 # never consumes). The 10^10 default.
 
+    def __post_init__(self):
+        # Fail fast on mode typos: 'OPIC' or 'trustrank' silently falling
+        # back to pagerank would misprioritize an entire crawl.
+        _allowed = {
+            "priority_source": {"pagerank", "opic"},
+            "frontier_mode": {"cow", "mor"},
+            "trap_scope": {"host", "domain"},
+            "seq_mode": {"global", "per_host", "hash"},
+        }
+        for field_name, allowed in _allowed.items():
+            v = getattr(self, field_name)
+            if v not in allowed:
+                raise ValueError(
+                    f"CrawlConfig.{field_name}={v!r}: must be one of {sorted(allowed)}"
+                )
+
 
 @dataclass
 class RoundResult:

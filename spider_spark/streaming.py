@@ -264,10 +264,10 @@ def stream_content_seen(
     return (
         # sha2 over the RAW binary column — a string cast is lossy (all
         # invalid-UTF-8 bytes map to U+FFFD, so byte-distinct payloads
-        # could collide and a real capture would be dropped)
-        stream.withColumn(
-            "digest", F.substring(F.sha2(F.col("html"), 256), 1, 16)
-        )
+        # could collide and a real capture would be dropped). Full 64-hex
+        # digest: this key makes DROP decisions, so 64-bit truncation is
+        # a silent-loss hazard at 10^10 captures (see webindex.content_seen).
+        stream.withColumn("digest", F.sha2(F.col("html"), 256))
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["digest"])
     )

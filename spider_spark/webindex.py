@@ -475,18 +475,26 @@ def content_seen(
     is the parse/extract gate — fetch still happened (the URL-seen test is
     round.py's Bloom frontier; this is the orthogonal content axis).
 
+    Exactly ONE row per digest is canonical (row_number over the digest
+    window): a re-capture of the SAME url with identical bytes is a
+    revisit pointer too, matching stream_content_seen's pure-digest key
+    and the WARC sink's 'later captures point at the first' contract.
+    The digest is the FULL SHA-256 (64 hex) — at 10^9-10^10 captures a
+    64-bit truncation has expected birthday collisions, and a collision
+    in THIS key silently replaces a distinct payload with a pointer to
+    unrelated content; truncated digests are only acceptable for
+    similarity evidence (mirror_host_pairs), never for dedup decisions.
+
     One shuffle, keyed on digest. Per-digest groups are the dup fan-in of
     one page's bytes — bounded in real corpora by the hot-digest cap the
     mirror detector applies; the window never globally sorts.
     """
     w = Window.partitionBy("digest").orderBy(F.col(ts_col), F.col(url_col))
     return (
-        captures.withColumn(
-            "digest", F.substring(F.sha2(F.col(html_col), 256), 1, 16)
-        )
+        captures.withColumn("digest", F.sha2(F.col(html_col), 256))
         .withColumn("_first_url", F.first(url_col).over(w))
         .withColumn("_first_ts", F.first(ts_col).over(w))
-        .withColumn("is_first_seen", F.col("_first_url") == F.col(url_col))
+        .withColumn("is_first_seen", F.row_number().over(w) == 1)
         .withColumn(
             "dup_of_url",
             F.when(F.col("is_first_seen"), F.lit(None).cast("string"))

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from spider_spark import dedup, media, pool, vectorops
+from spider_spark import dedup, media, pool, textops, vectorops
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -426,6 +426,55 @@ def test_jaccard_max_df_caps_hot_shingles(spark, docs):
         for r in dedup.jaccard_pairs(small, 0.8, max_df=1000).collect()
     }
     assert base == with_cap
+
+
+def test_containment_lsh_matches_exact_and_caps_hot_shingles(spark, docs):
+    """containment_pairs_lsh (LSH candidates → restricted verify) must
+    equal the exact self-join wherever the size-ratio bound holds, and
+    max_df must bound candidate volume on a planted hot shingle — the
+    promised 100 TB path for Broder containment."""
+    small = docs.where(F.col("doc_id") < 60).select("doc_id", "text")
+    toks = small.select("doc_id", textops.tokens_col(F.col("text")).alias("toks"))
+    k = F.expr("(3 * size(toks)) div 5").cast("int")
+    prefixes = toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(F.col("toks"), F.lit(1), k), " ").alias("text"),
+    )
+    corpus = small.unionByName(prefixes)
+    exact = {
+        (r.a_id, r.b_id, round(r.containment, 9))
+        for r in dedup.containment_pairs(corpus, 0.9, 3).collect()
+    }
+    via_lsh = {
+        (r.a_id, r.b_id, round(r.containment, 9))
+        for r in dedup.containment_pairs_lsh(
+            corpus, 0.9, 3, max_size_ratio=4.0
+        ).collect()
+    }
+    assert exact and via_lsh == exact
+
+    # hot-shingle corpus: uncapped candidates are quadratic, capped are zero
+    rows = [(i, "the quick fox " + f"u{i} v{i} w{i} x{i}") for i in range(40)]
+    hotc = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.lsh_candidates(hotc, n=3, n_bands=128).count()
+    capped = dedup.lsh_candidates(hotc, n=3, n_bands=128, max_df=10).count()
+    assert uncapped == 40 * 39 // 2
+    assert capped == 0
+    assert dedup.containment_pairs(hotc, 0.01, 3, max_df=10).count() == 0
+
+
+def test_containment_lsh_band_picker_monotone():
+    """Fewest-bands picker: tight thresholds need few bands, loose implied
+    Jaccard floors push toward rows=1 (max bands); result always divides
+    n_hashes and meets the recall target by construction."""
+    tight = dedup.containment_lsh_bands(0.95, max_size_ratio=1.0)
+    loose = dedup.containment_lsh_bands(0.9, max_size_ratio=8.0)
+    assert tight <= loose
+    for bands in (tight, loose):
+        assert 128 % bands == 0
+    j_min = 0.9 / (1.0 + 8.0 - 0.9)
+    rows = 128 // loose
+    assert 1.0 - (1.0 - j_min ** rows) ** loose >= 0.999
 
 
 def test_connected_survivors_matches_union_find_on_real_pairs(spark, docs):

@@ -294,6 +294,30 @@ def test_content_seen_first_wins_by_ts_then_url(spark):
     assert out["https://d.example.com/u"]["is_first_seen"]
 
 
+def test_content_seen_same_url_recapture_is_revisit(spark):
+    """A re-capture of the SAME url with identical bytes must be a revisit
+    pointer, not a second canonical row — exactly one is_first_seen per
+    digest (row_number semantics; the old url-equality key re-stored every
+    same-url recrawl as a duplicate full record). Digest is the full
+    SHA-256: truncation makes silent-loss collisions at 10^10 captures."""
+    from spider_spark.webindex import content_seen
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 3, 2, 12, 0, 0)
+    rows = [
+        ("https://a.example.com/1", t0, "<html>same</html>"),
+        ("https://a.example.com/1", t1, "<html>same</html>"),  # recrawl, unchanged
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html string")
+    out = sorted(content_seen(df).collect(), key=lambda r: r["warc_ts"])
+    assert len(out[0]["digest"]) == 64
+    assert out[0]["is_first_seen"] and out[0]["dup_of_url"] is None
+    assert not out[1]["is_first_seen"]
+    assert out[1]["dup_of_url"] == "https://a.example.com/1"
+    assert out[1]["dup_of_ts"] == t0
+
+
 # ------------------------------------------------- rel=canonical collapse
 
 def test_absolutize_href_branches(spark):
