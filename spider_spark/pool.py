@@ -101,3 +101,42 @@ def pick_random(pool: DataFrame, seed: int = 42) -> DataFrame:
         .limit(1)
         .drop("_r")
     )
+
+
+def probe_cycle(pool: DataFrame, outcomes: DataFrame,
+                batch_size: int = 10) -> DataFrame:
+    """E6/E9: one full tester cycle as ONE distributed pass
+    (ProxyPool/proxypool/tester.py:17-61 + scheduler.py:10-50 semantics,
+    setting.py BATCH_TEST_SIZE=10): the cycle walks the pool in ranked
+    batches of ``batch_size`` (zrevrange order: score desc, proxy asc) and
+    per probe applies promote-to-MAX on success (tester.py:32 redis.max)
+    or decrease-with-evict on failure (tester.py:34-38 redis.decrease,
+    db.py:47-59: −1, remove when the score falls to MIN).
+
+    ``outcomes`` (proxy, ok) is the probe-result table — the sandbox has
+    no network, so the aiohttp GET is externalized exactly like the pages
+    table externalizes fetches. Batch membership snapshots the ranking at
+    cycle start: the reference re-reads the LIVE zset per batch, so an
+    in-cycle promotion can reshuffle ranks and retest/skip proxies —
+    nondeterminism, not semantics; the snapshot is the deterministic
+    round-based reading. Proxies without an outcome row keep their score
+    (an unfinished cycle). The pool is a resource table (≤50k rows by the
+    E7 cap), so the single global ranking window is driver-cheap, and the
+    whole cycle is one window + one broadcast-sized join — no per-proxy
+    loop, no collect."""
+    w = Window.orderBy(F.desc("score"), F.asc("proxy"))
+    ranked = pool.withColumn("rank", F.row_number().over(w))
+    j = ranked.join(outcomes.select("proxy", "ok"), "proxy", "left")
+    after = (
+        F.when(F.col("ok").isNull(), F.col("score"))
+        .when(F.col("ok"), F.lit(MAX_SCORE))
+        .otherwise(F.col("score") - 1)
+    )
+    return j.select(
+        "proxy",
+        F.expr(f"CAST((rank - 1) DIV {int(batch_size)} AS INT)").alias("batch_no"),
+        F.col("score").cast("int").alias("score_before"),
+        F.coalesce(F.col("ok"), F.lit(False)).alias("ok"),
+        F.when(after > MIN_SCORE, after).cast("int").alias("score_after"),
+        (~(after > MIN_SCORE)).alias("evicted"),
+    )

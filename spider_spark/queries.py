@@ -394,6 +394,37 @@ def pool_pick_hash(spark, sf_dir):
     return pool.pick_hash(_pool_df(spark, sf_dir).drop("s_nationkey"), "probe")
 
 
+@q(
+    "pool_probe_cycle",
+    f"""
+    WITH p AS (SELECT proxy, score, s_nationkey FROM {_POOL_SQL} q),
+    r AS (
+      SELECT proxy, score, s_nationkey % 3 = 0 AS ok,
+             row_number() OVER (ORDER BY score DESC, proxy) AS rn
+      FROM p)
+    SELECT proxy,
+           ((rn - 1) // 10)::INT AS batch_no,
+           score::INT AS score_before,
+           ok,
+           CASE WHEN ok THEN 100
+                WHEN score - 1 > 0 THEN score - 1 END::INT AS score_after,
+           (NOT ok AND score - 1 <= 0) AS evicted
+    FROM r
+    """,
+)
+def pool_probe_cycle(spark, sf_dir):
+    """E6 probe cycle (ProxyPool tester.py:17-61): deterministic probe
+    outcomes (success iff 3 | s_nationkey) drive one full tester cycle —
+    batch-of-10 zrevrange walk, promote(100) on success, decrease(−1) with
+    evict-at-MIN on failure — as a single distributed pass
+    (pool.probe_cycle). The oracle replays the cycle in closed form from
+    the same supplier plant: ranked batching, both score transitions, and
+    the eviction edge (score 1 failing → evicted) are all value-checked."""
+    p = _pool_df(spark, sf_dir)
+    outcomes = p.select("proxy", (F.col("s_nationkey") % 3 == 0).alias("ok"))
+    return pool.probe_cycle(p.drop("s_nationkey"), outcomes, batch_size=10)
+
+
 # =====================================================================
 # Rolling-window time series (§2.F) over events
 # =====================================================================

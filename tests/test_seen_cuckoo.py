@@ -77,6 +77,12 @@ def test_bloom_overflow_rebuild(spark):
                   s.segments.select("bucket", "n_items", "m").collect()}
     assert any(n > 64 for n, _ in seg_before.values())
 
+    # telemetry counters BEFORE rebuild: the overflowed filter is
+    # saturated, so fresh urls read as maybe-seen at a high rate — the
+    # same n_maybe/n_new counters round.py lands in fetch_log's _bloom row
+    fresh = _urls(spark, [f"https://b.y.com/q/{i}" for i in range(500)])
+    fp_before = s.mark(fresh).where(F.col("maybe")).count() / 500
+
     rebuilt = s.maybe_rebuild(frontier)
     assert rebuilt is not None
     rebuilt.persist().count()
@@ -89,11 +95,14 @@ def test_bloom_overflow_rebuild(spark):
     # no false negatives after rebuild
     maybe, new = s.split(frontier)
     assert new.count() == 0
-    # FP rate on fresh urls is back near the configured fpp (not saturated)
-    fresh = _urls(spark, [f"https://b.y.com/q/{i}" for i in range(500)])
+    # FP rate SNAPS BACK after maybe_rebuild: saturated before (an
+    # overflowed 2·64-capacity filter holding 400 keys reads nearly
+    # everything as maybe), near the configured fpp after
     maybe_f, new_f = s.split(fresh)
-    fp_rate = maybe_f.count() / 500
-    assert fp_rate <= 0.05, fp_rate
+    fp_after = maybe_f.count() / 500
+    assert fp_before >= 0.5, fp_before
+    assert fp_after <= 0.05, fp_after
+    assert fp_after < fp_before / 5
 
 
 def test_crawl_emits_bloom_telemetry(spark, tmp_path):
