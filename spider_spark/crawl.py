@@ -209,12 +209,28 @@ def crawl(
         if mor_delta_round:
             # mor accounting: by_status rolls forward from the deltas alone
             # (updates are absolute post-states of previously-'new' rows;
-            # children are all 'new') — no full-frontier job anywhere
+            # children are all 'new') — no full-frontier job anywhere.
+            # ONE fused job: unioning the children count under a sentinel
+            # status materializes the children cache AND both counters in a
+            # single job submit instead of two serial ones — the per-round
+            # fixed cost is job-submit-dominated at small rounds (PLANS.md
+            # fixed-cost model), so every fused job moves the scaling floor.
+            stat_rows = (
+                result.updates.groupBy("status").count()
+                .unionByName(
+                    result.children.agg(
+                        F.lit("__children").alias("status"),
+                        F.count(F.lit(1)).alias("count"),
+                    )
+                )
+            ).collect()
             upd_counts = {
-                r["status"]: r["count"]
-                for r in result.updates.groupBy("status").count().collect()
+                r["status"]: r["count"] for r in stat_rows
+                if r["status"] != "__children"
             }
-            n_children = result.children.count()
+            n_children = sum(
+                r["count"] for r in stat_rows if r["status"] == "__children"
+            )
             by_status = dict(prev_stats.get("by_status", {}))
             n_touched = sum(upd_counts.values())
             for s in ("done", "failed", "denied"):
@@ -249,16 +265,21 @@ def crawl(
                 frontier_base = rnd
                 base_rows = sum(by_status.values())
                 delta_rows = 0
+        seen_stats = None
         if seen is not None:
-            tbls["seen_segments"].count()  # populate the segment cache too
+            # Bloom-merge job fusion: seg_stats()'s n_buckets-row collect
+            # IS the cache materialization for the merged segments — one
+            # job instead of a count job now plus a stats job inside the
+            # post-write stats_fn (the snapshot-commit serial tail).
+            seen_stats = seen.seg_stats()
 
         def round_stats():
             out = {"by_status": by_status, "n_new": by_status.get("new", 0)}
             if mor:
                 out["base_rows"] = base_rows
                 out["mor_delta_rows"] = delta_rows
-            if seen is not None:
-                out["seen"] = seen.seg_stats()
+            if seen_stats is not None:
+                out["seen"] = seen_stats
             return out
 
         # D5: frontier hive-partitioned by status — the hot `status='new'`

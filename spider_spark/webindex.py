@@ -616,3 +616,60 @@ def sitemap_staleness(
         "url", "lastmod_ts", "last_capture_ts",
         (reason != "fresh").alias("is_stale"), reason.alias("reason"),
     )
+
+
+# ------------------------------------------------- anchor-text profile
+def anchor_profile(
+    pairs: DataFrame,
+    target_col: str = "target",
+    doc_col: str = "doc_id",
+    anchor_col: str = "anchor",
+    n_anchors: int = 50,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Per-target link-context profile — (n_links, n_src_docs, sorted
+    distinct anchor texts capped at ``n_anchors``) — as a SALTED two-stage
+    aggregation that is exactly equal to the naive one-shuffle groupBy but
+    skew-proof at any in-degree.
+
+    Why: a single groupBy(target) is the textbook plan, but its
+    collect_set partial state is NOT bounded before the shuffle and
+    countDistinct plans an expand — a hot target (site-wide footer link:
+    a few percent of ALL edges at web scale) lands its whole in-link set
+    on one reducer (bench_skew measured 1.8-2.2× wall at 6% hot-dst share
+    on 2M edges; at 10^10 edges that reducer simply OOMs).
+
+    Exactness of the decomposition:
+    - salt = hash(doc) % n_salt: every pair of one doc lands in ONE salt,
+      so per-salt countDistinct(doc) SUMS to the global distinct count;
+    - the sorted min-N of a union equals the sorted min-N of the union of
+      per-part sorted min-Ns (any globally-kept anchor has < N smaller
+      anchors globally, hence < N within its own salt), so per-salt
+      slice(array_sort(collect_set), N) merged with
+      array_distinct → array_sort → slice N is the exact global cap;
+    - n_links sums trivially.
+
+    Plan: stage-1 Exchange on (target, salt) splits a hot target over
+    n_salt reducers with ≤N-element state each; stage-2 Exchange on
+    target merges ≤n_salt rows of ≤N anchors — bounded bytes per key at
+    ANY fan-in, the same discipline as the frontier's salted pop
+    (round.pop_batch). One extra (tiny) shuffle is the price."""
+    salt = F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_salt))
+    stage1 = (
+        pairs.groupBy(F.col(target_col).alias("target"), salt.alias("_salt"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(doc_col).alias("_nd"),
+            F.slice(
+                F.array_sort(F.collect_set(anchor_col)), 1, n_anchors
+            ).alias("_a"),
+        )
+    )
+    return stage1.groupBy("target").agg(
+        F.sum("_n").cast("long").alias("n_links"),
+        F.sum("_nd").cast("long").alias("n_src_docs"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_a")))),
+            1, n_anchors,
+        ).alias("anchor_texts"),
+    )

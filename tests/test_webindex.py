@@ -318,6 +318,45 @@ def test_content_seen_same_url_recapture_is_revisit(spark):
     assert out[1]["dup_of_ts"] == t0
 
 
+# ------------------------------------------------- anchor-text profile
+
+def test_anchor_profile_salted_equals_naive_groupby(spark):
+    """The salted two-stage anchor aggregation must be EXACTLY the naive
+    one-shuffle groupBy: counts, distinct-doc counts, and the sorted
+    top-N distinct anchor cap — on a fixture with a hot target whose
+    in-links span every salt and exceed the cap."""
+    import pyspark.sql.functions as F
+    from spider_spark.webindex import anchor_profile
+
+    rows = []
+    for doc in range(120):
+        # hot target gets a link from every doc with 2 distinct anchors
+        rows.append((doc, "https://hot.example.com/", f"anchor-{doc % 70:03d}"))
+        rows.append((doc, "https://hot.example.com/", f"zz-{doc:03d}"))
+        # cold targets: a few links each
+        rows.append((doc, f"https://t{doc % 7}.example.com/", f"a{doc % 5}"))
+    pairs = spark.createDataFrame(rows, "doc_id long, target string, anchor string")
+
+    naive = pairs.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+        F.slice(F.array_sort(F.collect_set("anchor")), 1, 50).alias("anchor_texts"),
+    )
+    salted = anchor_profile(pairs, n_anchors=50, n_salt=16)
+
+    def canon(df):
+        return {
+            r["target"]: (r["n_links"], r["n_src_docs"], tuple(r["anchor_texts"]))
+            for r in df.collect()
+        }
+
+    a, b = canon(naive), canon(salted)
+    assert a == b
+    # the hot target really exercises the cap (190 distinct anchors > 50)
+    assert a["https://hot.example.com/"][0] == 240
+    assert len(a["https://hot.example.com/"][2]) == 50
+
+
 # ------------------------------------------------- rel=canonical collapse
 
 def test_absolutize_href_branches(spark):
