@@ -91,6 +91,8 @@ HEADLINE = [
     "phrase_search",         # round 2: positional-index phrase intersection
     "opic_scores",           # round 2: OPIC cash-propagation priorities
     "sitemap_staleness",     # round 2: lastmod-driven conditional recrawl
+    "containment_lsh",       # round 3: LSH-candidate-restricted containment
+    "pool_probe_cycle",      # round 3: proxy tester cycle as one pass
 ]
 
 

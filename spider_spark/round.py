@@ -134,7 +134,11 @@ class CrawlConfig:
                                 # preserves depth/fetch-round/seen-set
                                 # invariants (cross-host order is a
                                 # single-frontier artifact the scheduler
-                                # never consumes). The 10^10 default.
+                                # never consumes).
+                                # "hash": windowless deterministic seq from
+                                # xxhash64(url) — no extra pass at all;
+                                # stable (not dense, not discovery-ordered),
+                                # pop tiebreaks on url. The 10^10 default.
 
     def __post_init__(self):
         # Fail fast on mode typos: 'OPIC' or 'trustrank' silently falling
