@@ -31,12 +31,17 @@ def add(pool: DataFrame, new: DataFrame) -> DataFrame:
 
 
 def decrease(pool: DataFrame, failed: DataFrame) -> DataFrame:
-    """E3 (db.py:47-59): score −1 on failure; evict when it falls below MIN."""
+    """E3 (db.py:47-59): score −1 on failure; evict when it falls BELOW
+    MIN. The reference decrements while ``score > MIN_SCORE`` and zrems
+    otherwise — so a failure at score 1 lands the proxy AT 0 and keeps
+    it; only the next failure (score ≤ MIN at probe time) removes it.
+    Post-decrement keep-if ``>= MIN`` reproduces exactly that: 1→0 kept,
+    0→−1 removed, untouched 0 kept."""
     delta = failed.select("proxy").distinct().withColumn("_dec", F.lit(1))
     return (
         pool.join(delta, "proxy", "left")
         .select("proxy", (F.col("score") - F.coalesce(F.col("_dec"), F.lit(0))).alias("score"))
-        .where(F.col("score") > MIN_SCORE)
+        .where(F.col("score") >= MIN_SCORE)
     )
 
 
@@ -137,6 +142,8 @@ def probe_cycle(pool: DataFrame, outcomes: DataFrame,
         F.expr(f"CAST((rank - 1) DIV {int(batch_size)} AS INT)").alias("batch_no"),
         F.col("score").cast("int").alias("score_before"),
         F.coalesce(F.col("ok"), F.lit(False)).alias("ok"),
-        F.when(after > MIN_SCORE, after).cast("int").alias("score_after"),
-        (~(after > MIN_SCORE)).alias("evicted"),
+        # keep-at-MIN, evict below it — db.py:47-59 keeps a proxy that a
+        # failure lands exactly ON MIN_SCORE (see decrease())
+        F.when(after >= MIN_SCORE, after).cast("int").alias("score_after"),
+        (~(after >= MIN_SCORE)).alias("evicted"),
     )

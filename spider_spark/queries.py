@@ -364,11 +364,12 @@ def pool_top_batch(spark, sf_dir):
     f"""
     SELECT proxy, (score - CASE WHEN s_nationkey IN (1,2,3) THEN 1 ELSE 0 END) AS score
     FROM {_POOL_SQL} p
-    WHERE (score - CASE WHEN s_nationkey IN (1,2,3) THEN 1 ELSE 0 END) > 0
+    WHERE (score - CASE WHEN s_nationkey IN (1,2,3) THEN 1 ELSE 0 END) >= 0
     """,
 )
 def pool_decrease_evict(spark, sf_dir):
-    """E3 score decay + eviction below MIN_SCORE (db.py:47-59)."""
+    """E3 score decay + eviction below MIN_SCORE (db.py:47-59: a failure
+    at score 1 keeps the proxy AT 0; removal happens on the next failure)."""
     p = _pool_df(spark, sf_dir)
     failed = p.where(F.col("s_nationkey").isin(1, 2, 3)).select("proxy")
     return pool.decrease(p.drop("s_nationkey"), failed)
@@ -407,8 +408,8 @@ def pool_pick_hash(spark, sf_dir):
            score::INT AS score_before,
            ok,
            CASE WHEN ok THEN 100
-                WHEN score - 1 > 0 THEN score - 1 END::INT AS score_after,
-           (NOT ok AND score - 1 <= 0) AS evicted
+                WHEN score - 1 >= 0 THEN score - 1 END::INT AS score_after,
+           (NOT ok AND score - 1 < 0) AS evicted
     FROM r
     """,
 )
@@ -419,7 +420,8 @@ def pool_probe_cycle(spark, sf_dir):
     evict-at-MIN on failure — as a single distributed pass
     (pool.probe_cycle). The oracle replays the cycle in closed form from
     the same supplier plant: ranked batching, both score transitions, and
-    the eviction edge (score 1 failing → evicted) are all value-checked."""
+    both eviction edges (score 1 failing → kept AT 0, the reference's
+    keep-at-MIN; score 0 failing → evicted) are all value-checked."""
     p = _pool_df(spark, sf_dir)
     outcomes = p.select("proxy", (F.col("s_nationkey") % 3 == 0).alias("ok"))
     return pool.probe_cycle(p.drop("s_nationkey"), outcomes, batch_size=10)

@@ -83,12 +83,14 @@ def test_pool_add_validates_and_dedups(spark):
 
 def test_pool_promote_and_evict(spark):
     p0 = spark.createDataFrame(
-        [("a:1", 1), ("b:2", 50), ("c:3", 90)], "proxy string, score int"
+        [("a:1", 1), ("b:2", 50), ("c:3", 90), ("d:4", 0)],
+        "proxy string, score int",
     )
-    failed = spark.createDataFrame([("a:1",)], "proxy string")
+    failed = spark.createDataFrame([("a:1",), ("d:4",)], "proxy string")
     ok = spark.createDataFrame([("c:3",)], "proxy string")
     out = {r.proxy: r.score for r in pool.promote(pool.decrease(p0, failed), ok).collect()}
-    assert out == {"b:2": 50, "c:3": pool.MAX_SCORE}  # a:1 evicted at score 0
+    # db.py:47-59: a:1 fails 1→0 and is KEPT at MIN; d:4 fails at 0 → zrem
+    assert out == {"a:1": 0, "b:2": 50, "c:3": pool.MAX_SCORE}
 
 
 # --------------------------------------------------------------------- dedup
