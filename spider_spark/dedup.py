@@ -52,10 +52,44 @@ def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text", max_df: int | None = None,
+                 keep_empty: bool = False) -> DataFrame:
+    """Exploded (doc_id, shingle) rows, df-capped, repartitioned by doc —
+    the SHARED corpus pass behind the LSH pipelines: candidate generation
+    and exact verification both consume this one table (persist it at the
+    call site), so the corpus is tokenized, shingled, and df-capped ONCE
+    instead of once per stage — at 100 TB that is a whole corpus scan
+    saved, and the doc_id partitioning serves both the signature
+    aggregation and the verify joins.
+
+    keep_empty retains one null-shingle sentinel row per shingle-less doc
+    (explode_outer) so the signature path sees every doc; exact-verify
+    consumers must filter `shingle IS NOT NULL` (jaccard_pairs /
+    containment_pairs do when handed a prebuilt table)."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = docs.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), textops.tokens_col(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select("doc_id", textops.grams_col(F.col("toks"), n).alias("grams"))
+    explode = F.explode_outer if keep_empty else F.explode
+    ex = grams.select("doc_id", explode("grams").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") > max_df).select("shingle")
+        )
+        # left_anti on a null shingle keeps the row (the explode_outer
+        # empty-doc sentinel survives the cap)
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    return ex
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   restrict_pairs: DataFrame | None = None,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs via shingle self-join.
     Returns (a_id, b_id, jaccard). Join key = shingle ⇒ candidate set is
     docs sharing ≥1 shingle, not the full cross product.
@@ -69,16 +103,23 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
     half the corpus otherwise contributes ~(corpus/2)² candidate rows on
     its own; the cap bounds per-shingle join fan-out at max_df² while
     leaving discriminative shingles — and the result on any corpus with no
-    hot shingles — untouched (test_pipeline_ops exercises both claims)."""
-    sh = shingle_table(docs, n, id_col, text_col)
-    if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    hot shingles — untouched (test_pipeline_ops exercises both claims).
+
+    shingles: a prebuilt (doc_id, shingle) table (shingle_rows — already
+    df-capped, possibly carrying null empty-doc sentinels); skips the
+    corpus re-scan so the LSH pipelines shingle the corpus once."""
+    if shingles is not None:
+        sh = shingles.where(F.col("shingle").isNotNull())
+    else:
+        sh = shingle_table(docs, n, id_col, text_col)
+        if max_df is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count_distinct("doc_id").alias("df"))
+                .where(F.col("df") > max_df)
+                .select("shingle")
+            )
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sh_j = sh
     if restrict_pairs is not None:
         cand_docs = (
@@ -90,16 +131,37 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
         # is never exploded on the verify path
         sh_j = sh.join(cand_docs, "doc_id", "left_semi").persist()
     sizes = sh_j.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh_j.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh_j.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if restrict_pairs is not None:
-        inter = inter.join(restrict_pairs, ["a_id", "b_id"], "left_semi")
+        # PAIR-FIRST intersection: attach each candidate pair's a-side
+        # shingle set, then match the b side on (b_id, shingle). Work is
+        # Σ_pairs |S(a)| — linear in the candidate list — whereas the
+        # shingle self-join below costs Σ_shingle df² over candidate DOCS,
+        # which re-creates the quadratic hot-shingle blowup whenever LSH
+        # recalls most of the corpus as *some* pair's member (boilerplate
+        # webtext at 100 TB: nearly every doc is in ≥1 candidate pair even
+        # though the pair list itself stays linear).
+        rp = restrict_pairs.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        ).distinct()
+        pa = rp.join(sh_j.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        inter = (
+            pa.join(
+                sh_j.select(F.col("doc_id").alias("b_id"), "shingle"),
+                ["b_id", "shingle"],
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh_j.select(F.col("doc_id").alias("a_id"), "shingle")
+        b = sh_j.select(F.col("doc_id").alias("b_id"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
     return (
@@ -117,7 +179,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
 def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
                       restrict_pairs: DataFrame | None = None,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = None,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Asymmetric n-gram containment: pairs (a_id, b_id) where
     |S(a) ∩ S(b)| / |S(a)| ≥ threshold — "a is (nearly) contained in b".
 
@@ -142,16 +205,23 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
     max_df: drop shingles appearing in more than max_df documents before
     anything downstream (see jaccard_pairs — same cap, same rationale:
     a boilerplate shingle shared by 10^6 docs is a 10^12-row join on its
-    own; the result on any corpus with no hot shingles is untouched)."""
-    sh = shingle_table(docs, n, id_col, text_col)
-    if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count_distinct(id_col).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    own; the result on any corpus with no hot shingles is untouched).
+
+    shingles: a prebuilt (doc_id, shingle) table (shingle_rows — already
+    df-capped, possibly carrying null empty-doc sentinels); skips the
+    corpus re-scan so the LSH pipelines shingle the corpus once."""
+    if shingles is not None:
+        sh = shingles.where(F.col("shingle").isNotNull())
+    else:
+        sh = shingle_table(docs, n, id_col, text_col)
+        if max_df is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count_distinct(id_col).alias("df"))
+                .where(F.col("df") > max_df)
+                .select("shingle")
+            )
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if restrict_pairs is not None:
         cand_docs = (
             restrict_pairs.select(F.col("a_id").alias(id_col))
@@ -160,25 +230,39 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
         )
         sh = sh.join(cand_docs, id_col, "left_semi").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    # |S(a) ∩ S(b)| is symmetric: join each unordered pair ONCE (a < b) and
-    # emit the swapped direction afterwards — halves the join output vs an
-    # a ≠ b theta join (measured 12.4 s → ~7 s at sf0.1)
-    inter_lt = (
-        a.join(b, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if restrict_pairs is not None:
-        # candidates are unordered; normalize to the a<b orientation the
-        # single-pass join uses (both directions re-emerge from the explode)
+        # PAIR-FIRST intersection (see jaccard_pairs): candidates are
+        # unordered, so normalize to a<b (both directions re-emerge from
+        # the explode below), attach the a-side shingle set per pair, and
+        # match the b side on (b_id, shingle). Σ_pairs |S(a)| work — the
+        # candidate-doc shingle self-join this replaces re-created the
+        # quadratic hot-shingle blowup whenever LSH names most docs in
+        # ≥1 pair (every subsumed page does exactly that).
         norm = restrict_pairs.select(
             F.least("a_id", "b_id").alias("a_id"),
             F.greatest("a_id", "b_id").alias("b_id"),
         ).distinct()
-        inter_lt = inter_lt.join(norm, ["a_id", "b_id"], "left_semi")
+        pa = norm.join(sh.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
+        inter_lt = (
+            pa.join(
+                sh.select(F.col(id_col).alias("b_id"), "shingle"),
+                ["b_id", "shingle"],
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+        b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+        # |S(a) ∩ S(b)| is symmetric: join each unordered pair ONCE (a < b)
+        # and emit the swapped direction afterwards — halves the join output
+        # vs an a ≠ b theta join (measured 12.4 s → ~7 s at sf0.1)
+        inter_lt = (
+            a.join(b, "shingle")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     # both directions from ONE pass: explode a 2-struct array rather than
     # union the swapped branch (a union re-executes the join lineage twice)
     inter = inter_lt.select(
@@ -332,29 +416,72 @@ def minhash_lsh_pairs(
     exact-Jaccard answer while the candidate join touches only band-bucket
     collisions (the 10^10-doc path: ~n_bands rows per doc, shuffle on
     band_key, never quadratic)."""
-    # Banding is pure JVM: explode shingles, then ONE aggregation pass with
-    # n_hashes min(xxhash64(seed_i, shingle)) columns — each exploded row
-    # evaluates 128 codegen'd hash expressions in a single scan (no python
-    # workers, no per-permutation array materialization; the
-    # array_min(transform(...))×128 formulation computes the same values
-    # but re-walks the shingle array per permutation — measured ~30×
-    # slower). The doc_id repartition puts each doc in one partition, so
-    # partial aggregation collapses map-side and the shuffle carries one
-    # 128-long row per doc. Empty-gram docs survive via explode_outer:
-    # xxhash64 skips the null, every signature degenerates to hash(seed_i)
-    # — all empties collide with each other and nothing else, and exact
-    # verification drops them anyway.
+    # One shared corpus pass: shingle_rows is persisted and consumed by
+    # BOTH candidate generation (signature backend notes on
+    # lsh_candidates) and the exact verify — the corpus is tokenized,
+    # shingled, and exploded once.
+    sh = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col,
+                      keep_empty=True).persist()
     cand = lsh_candidates(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
-                          id_col=id_col, text_col=text_col)
+                          id_col=id_col, text_col=text_col, shingles=sh)
     # exact verify ONLY on candidate pairs — the full-corpus shingle join
     # would redo the work LSH exists to avoid
-    return jaccard_pairs(docs, threshold, n, id_col, text_col, restrict_pairs=cand)
+    return jaccard_pairs(docs, threshold, n, id_col, text_col,
+                         restrict_pairs=cand, shingles=sh)
+
+
+def _band_keys_udf(n_hashes: int, n_bands: int):
+    """Arrow-batched numpy band-key kernel for wide MinHash signatures
+    (see lsh_candidates — the >96-hash backend). Input: one array<long>
+    of per-shingle xxhash64 values per doc. Output: array<long> of
+    n_bands keys. Per seed i the permuted hash is
+    splitmix64(h + i·GOLDEN) (the standard 64-bit finalizer — full
+    avalanche, so per-seed minima are as independent as the xxhash64
+    re-hash family they replace); a band's key folds its rows' minima
+    with the same mix. uint64 arithmetic wraps mod 2^64 in numpy, which
+    is exactly the semantics the finalizer wants — no ANSI overflow
+    concerns because none of this runs in SQL expressions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = n_hashes // n_bands
+    GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+
+    def _mix(x: "np.ndarray") -> "np.ndarray":
+        x = (x ^ (x >> np.uint64(30))) * M1
+        x = (x ^ (x >> np.uint64(27))) * M2
+        return x ^ (x >> np.uint64(31))
+
+    seeds = np.arange(1, n_hashes + 1, dtype=np.uint64) * GOLDEN
+
+    @pandas_udf("array<long>")
+    def band_keys(hs: pd.Series) -> pd.Series:
+        out = []
+        empty_sig = _mix(seeds)  # all empties share one signature
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                sig = empty_sig
+            else:
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)[:, None]
+                sig = _mix(h + seeds[None, :]).min(axis=0)
+            bands = sig.reshape(n_bands, rows_per_band)
+            key = np.arange(1, n_bands + 1, dtype=np.uint64) * GOLDEN
+            for j in range(rows_per_band):
+                key = _mix(key ^ bands[:, j])
+            out.append(key.view(np.int64))
+        return pd.Series(out)
+
+    return band_keys
 
 
 def lsh_candidates(docs: DataFrame, n: int = 3, n_hashes: int = 128,
                    n_bands: int = 32, id_col: str = "doc_id",
                    text_col: str = "text",
-                   max_df: int | None = None) -> DataFrame:
+                   max_df: int | None = None,
+                   shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signatures → band buckets → candidate (a_id, b_id) pairs
     (a<b, distinct, materialized). The shared candidate generator behind
     minhash_lsh_pairs and containment_pairs_lsh — see minhash_lsh_pairs
@@ -364,35 +491,50 @@ def lsh_candidates(docs: DataFrame, n: int = 3, n_hashes: int = 128,
     max_df drops hot shingles BEFORE signatures, so the signature space
     matches a max_df-capped exact verify AND hot boilerplate shingles
     cannot concentrate band buckets (a shingle shared by 10^6 docs makes
-    every one of them collide in the bands its min-hash wins)."""
+    every one of them collide in the bands its min-hash wins).
+
+    Signature backend: up to 96 hashes the per-seed minima are 96
+    codegen'd min(xxhash64(seed, h)) aggregate columns (pure JVM). Wider
+    signatures (the low-j_min containment configs need 280+) would blow
+    Spark's whole-stage-codegen field limit (spark.sql.codegen.maxFields
+    = 100) and run the wide aggregate INTERPRETED, so they switch to an
+    Arrow-batched numpy kernel instead: collect each doc's shingle-hash
+    longs (one shuffle, same as the wide agg's), then one vectorized
+    (shingles × seeds) splitmix64 pass per doc emits the band keys
+    directly — measured 2.3× over the interpreted wide agg at 280 hashes,
+    and the per-doc working set (|S|·n_hashes·8 B) stays under a MB at
+    any corpus size. Band-key VALUES differ between backends (different
+    hash families); both are uniform mixes and every caller verifies
+    candidates exactly, so results are backend-independent."""
     rows_per_band = n_hashes // n_bands
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"), textops.tokens_col(F.col(text_col)).alias("toks")
-    )
-    grams = toks.select("doc_id", textops.grams_col(F.col("toks"), n).alias("grams"))
-    ex = grams.select("doc_id", F.explode_outer("grams").alias("g"))
-    if max_df is not None:
-        hot = (
-            ex.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
-            .where(F.col("df") > max_df).select("g")
+    if shingles is not None:
+        # prebuilt shingle_rows table (df-capped, explode_outer sentinels)
+        ex = shingles
+    else:
+        ex = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col,
+                          max_df=max_df, keep_empty=True)
+    # one string hash per shingle; permutations rehash the 8-byte long
+    exh = ex.select("doc_id", F.xxhash64(F.col("shingle")).alias("h"))
+    if n_hashes <= 96:
+        sig = exh.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"s{i}")
+                for i in range(n_hashes)
+            ]
         )
-        # left_anti on null g keeps the row (explode_outer empty-doc
-        # sentinel survives, matching the uncapped path)
-        ex = ex.join(F.broadcast(hot), "g", "left_anti")
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"s{i}")
-            for i in range(n_hashes)
+        band_keys = [
+            F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
+            for b in range(n_bands)
         ]
-    )
-    band_keys = [
-        F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
-        for b in range(n_bands)
-    ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
-    ).persist()
+        buckets = sig.select(
+            "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+        ).persist()
+    else:
+        harr = exh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+        buckets = harr.select(
+            "doc_id",
+            F.explode(_band_keys_udf(n_hashes, n_bands)(F.col("hs"))).alias("band_key"),
+        ).persist()
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "band_key")
@@ -426,8 +568,57 @@ def containment_lsh_bands(threshold: float, max_size_ratio: float,
     return best
 
 
+def containment_lsh_config(threshold: float, max_size_ratio: float,
+                           target_recall: float = 0.999,
+                           max_hashes: int = 512,
+                           min_rows: int = 1) -> tuple[int, int]:
+    """(n_hashes, n_bands) for containment LSH: the FEWEST total hashes
+    ceil-sized to the recall target, with a rows-per-band floor.
+
+    bands(rows) = ceil(ln(1−recall)/ln(1−j_min^rows)) where
+    j_min = t/(1+r−t) is the Jaccard floor containment ≥ t implies under
+    the size-ratio bound (Broder). Fewer hashes = a cheaper signature
+    scan, but candidate volume rules the trade (see min_rows below), so
+    the picker sizes the signature to the recall target instead of
+    pinning it at 128 (at j_min ≈ 0.22 the fixed-width-128 picker forces
+    rows=1 over all 128 bands; the target-sized rows=2 config is 280
+    hashes over 140 bands and an order of magnitude fewer candidates).
+
+    min_rows is the scale guard: a rows=1 bucket is "docs whose min-hash
+    equals v", i.e. one bucket per winning SHINGLE, so bucket size is that
+    shingle's document frequency — even under a max_df cap every capped
+    shingle still owns a ≤max_df-doc bucket per band it wins (measured at
+    sf0.1: 761k rows=1 candidates vs 43k at rows=2 on the same capped
+    corpus). Pass min_rows=2 (containment_pairs_lsh always does) —
+    collision then needs BOTH minima shared, which squares hot-shingle
+    concentration away — at the price of the wider signature (rows·bands
+    grows as j_min^-rows).
+    Returns the fewest-hash config with rows ≥ min_rows that fits
+    max_hashes; if none fits, the largest-rows config that does."""
+    import math
+
+    j_min = threshold / (1.0 + max_size_ratio - threshold)
+    feasible: list[tuple[int, int, int]] = []  # (n_hashes, rows, bands)
+    for rows in range(min_rows, 9):
+        p = j_min ** rows
+        if p >= 1.0:
+            feasible.append((rows, rows, 1))
+            continue
+        bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+        if rows * bands <= max_hashes:
+            feasible.append((rows * bands, rows, bands))
+    if feasible:
+        n_hashes, _, bands = min(feasible)
+        return n_hashes, bands
+    # nothing meets the recall target inside the budget: best recall the
+    # budget allows at the rows floor
+    bands = max(1, max_hashes // min_rows)
+    return min_rows * bands, bands
+
+
 def containment_pairs_lsh(docs: DataFrame, threshold: float, n: int = 3,
-                          max_size_ratio: float = 8.0, n_hashes: int = 128,
+                          max_size_ratio: float = 8.0,
+                          n_hashes: int | None = None,
                           n_bands: int | None = None,
                           id_col: str = "doc_id", text_col: str = "text",
                           max_df: int | None = None) -> DataFrame:
@@ -435,16 +626,31 @@ def containment_pairs_lsh(docs: DataFrame, threshold: float, n: int = 3,
     containment_pairs docstring promises: candidates from MinHash banding
     at the LOWER Jaccard threshold t/(1+r−t) implied by containment ≥ t
     under a size-ratio bound |B| ≤ r·|A|, exact containment verified only
-    on candidates. Web boilerplate supersets (the Broder containment use
+    on candidates (pair-first: Σ_pairs |S(a)| verify work, never a shingle
+    self-join). Web boilerplate supersets (the Broder containment use
     case) live at small r; pairs beyond max_size_ratio carry no recall
     guarantee (raise r, or size-bucket, when hunting 100:1 subsumption).
-    Never quadratic: bucket joins + a candidate-restricted shingle join."""
-    if n_bands is None:
+    Signature width and banding come from containment_lsh_config unless
+    pinned explicitly — see its docstring for the rows≥2 rationale."""
+    if n_hashes is None and n_bands is None:
+        # rows≥2 floor even under a df cap: measured at sf0.1 the rows=1
+        # config admits 761k candidates vs rows=2's 43k on the same corpus
+        # (a df-capped shingle still owns a ≤max_df bucket per band it
+        # wins — 256² pairs each), and the wider signature is the cheaper
+        # side of that trade — see containment_lsh_config
+        n_hashes, n_bands = containment_lsh_config(
+            threshold, max_size_ratio, min_rows=2)
+    elif n_hashes is None:
+        n_hashes = 128
+    elif n_bands is None:
         n_bands = containment_lsh_bands(threshold, max_size_ratio, n_hashes)
+    # one shared corpus pass for candidates + verify (see minhash_lsh_pairs)
+    sh = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col,
+                      max_df=max_df, keep_empty=True).persist()
     cand = lsh_candidates(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
-                          id_col=id_col, text_col=text_col, max_df=max_df)
+                          id_col=id_col, text_col=text_col, shingles=sh)
     return containment_pairs(docs, threshold, n, id_col, text_col,
-                             restrict_pairs=cand, max_df=max_df)
+                             restrict_pairs=cand, shingles=sh)
 
 
 # ------------------------------------------------------------------ simhash
