@@ -479,6 +479,27 @@ def test_containment_lsh_band_picker_monotone():
     assert 1.0 - (1.0 - j_min ** rows) ** loose >= 0.999
 
 
+def test_containment_lsh_config_meets_recall_and_rows_floor():
+    """Target-sized config picker: every returned (n_hashes, n_bands)
+    meets the recall target at j_min, honors the min_rows floor, and the
+    rows=2 floor yields a wider signature than the unconstrained pick
+    whenever rows=1 would have won on hash count."""
+    for t, r in [(0.9, 4.0), (0.95, 1.0), (0.8, 2.0)]:
+        for min_rows in (1, 2):
+            nh, nb = dedup.containment_lsh_config(t, r, min_rows=min_rows)
+            rows = nh // nb
+            assert rows * nb == nh and rows >= min_rows
+            j_min = t / (1.0 + r - t)
+            assert 1.0 - (1.0 - j_min ** rows) ** nb >= 0.999
+    # the documented j_min≈0.22 case: rows floor forces the wide signature
+    assert dedup.containment_lsh_config(0.9, 4.0, min_rows=1) == (28, 28)
+    assert dedup.containment_lsh_config(0.9, 4.0, min_rows=2) == (280, 140)
+    # j_min≈0.11 at rows=2 needs 1112 hashes: budget-capped fallback keeps
+    # the rows floor and spends the whole budget (best recall it can buy)
+    nh, nb = dedup.containment_lsh_config(0.9, 8.0, min_rows=2)
+    assert (nh, nb) == (512, 256) and nh // nb == 2
+
+
 def test_connected_survivors_matches_union_find_on_real_pairs(spark, docs):
     """CC survivor resolution over REAL minhash near-dup pairs must equal a
     python union-find ground truth on the same pairs."""
