@@ -93,6 +93,7 @@ HEADLINE = [
     "sitemap_staleness",     # round 2: lastmod-driven conditional recrawl
     "containment_lsh",       # round 3: LSH-candidate-restricted containment
     "pool_probe_cycle",      # round 3: proxy tester cycle as one pass
+    "media_resize",          # round 3: multimodal fit-within resize (map-only)
 ]
 
 

@@ -89,6 +89,96 @@ def extract_media_meta(
     return media.select(id_col, payload_col).mapInPandas(batches, schema=MEDIA_META_SCHEMA)
 
 
+def sha_dims_decoder(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake decoder whose dims an ANSI-SQL oracle can
+    reproduce: width/height come from the first 8 hex chars of
+    sha256(payload) (DuckDB: 64 + ('0x' || substr(sha256(col),1,4))::INT
+    % 512), unlike fake_decoder's crc32 (no DuckDB builtin). Used by the
+    registered media_resize query so decode+resize plumbing gets a
+    value-level oracle, not just a pytest assertion."""
+    h = hashlib.sha256(payload).hexdigest()
+    return (64 + int(h[0:4], 16) % 512, 64 + int(h[4:8], 16) % 512, "fake")
+
+
+def fake_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in for the re-encode step: emits a fake RGB
+    buffer of the right size class (3 bytes/pixel, content derived from
+    the source digest) so byte-count invariants are assertable."""
+    seed = hashlib.sha256(payload).digest()
+    n = out_w * out_h * 3
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+RESIZE_SCHEMA = (
+    "media_id long, src_width int, src_height int, out_width int, "
+    "out_height int, n_out_bytes long, error string"
+)
+
+
+def resize_media(
+    media: DataFrame,
+    max_w: int,
+    max_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, str]] = decode_image,
+    resizer: Callable[[bytes, int, int], bytes] = None,
+) -> DataFrame:
+    """Fit-within resize through Arrow-batched ``mapInPandas`` — the
+    image-resize leg of the multimodal pipeline (decode → scale →
+    re-encode in one task, no shuffle: a pure map over payload batches,
+    so it scales with input partitions and never materializes a partition
+    in memory — per-row working set is one image).
+
+    Scale factor = min(max_w/w, max_h/h, 1.0) (never upscales), output
+    dims floor-rounded with a 1-px floor — the same IEEE-double
+    expression the SQL oracle evaluates, so results are comparable
+    value-level. Decode/resize failures land in ``error`` as data (parser
+    policy, SURVEY.md §2.H.10). ``resizer`` defaults to fake_resizer;
+    like the decoder it is injectable so a real codec drops in without
+    touching the Spark plumbing."""
+    resizer = resizer or fake_resizer
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "src_width", "src_height",
+                                    "out_width", "out_height", "n_out_bytes",
+                                    "error")}
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                rows["media_id"].append(int(mid))
+                try:
+                    payload = bytes(b)
+                    w, h, _fmt = decoder(payload)
+                    scale = min(max_w / w, max_h / h, 1.0)
+                    ow = max(1, int(w * scale))
+                    oh = max(1, int(h * scale))
+                    out = resizer(payload, ow, oh)
+                    rows["src_width"].append(w)
+                    rows["src_height"].append(h)
+                    rows["out_width"].append(ow)
+                    rows["out_height"].append(oh)
+                    rows["n_out_bytes"].append(len(out))
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — error becomes data
+                    for k in ("src_width", "src_height", "out_width",
+                              "out_height", "n_out_bytes"):
+                        rows[k].append(None)
+                    rows["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "src_width": pd.array(rows["src_width"], dtype="Int32"),
+                    "src_height": pd.array(rows["src_height"], dtype="Int32"),
+                    "out_width": pd.array(rows["out_width"], dtype="Int32"),
+                    "out_height": pd.array(rows["out_height"], dtype="Int32"),
+                    "n_out_bytes": pd.array(rows["n_out_bytes"], dtype="Int64"),
+                    "error": rows["error"],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int,
                       id_col: str = "media_id") -> DataFrame:
     """Video frame-sampling *plumbing*: expands each media row into frame

@@ -2939,6 +2939,43 @@ def media_meta(spark, sf_dir):
     return meta.select("media_id", "n_bytes", "sha256_prefix")
 
 
+@q(
+    "media_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             64 + ('0x' || substr(sha256(text), 1, 4))::INT % 512 AS w,
+             64 + ('0x' || substr(sha256(text), 5, 4))::INT % 512 AS h
+      FROM documents),
+    s AS (SELECT media_id, w, h,
+                 least(320.0 / w, 240.0 / h, 1.0) AS scale FROM m)
+    SELECT media_id,
+           w AS src_width, h AS src_height,
+           greatest(1, floor(w * scale))::INT AS out_width,
+           greatest(1, floor(h * scale))::INT AS out_height,
+           greatest(1, floor(w * scale))::BIGINT
+             * greatest(1, floor(h * scale))::BIGINT * 3 AS n_out_bytes
+    FROM s
+    """,
+)
+def media_resize(spark, sf_dir):
+    """Fit-within image resize through Arrow-batched mapInPandas
+    (media.resize_media — decode → scale → fake re-encode in one map-only
+    task, no shuffle). Unlike media_meta, the DECODE output itself is
+    oracle-checked: sha_dims_decoder derives dims from sha256(payload) so
+    DuckDB reproduces decode + scale math value-level (the crc32-based
+    fake_decoder has no DuckDB builtin); n_out_bytes pins the re-encode
+    contract (3 bytes/px). Reference has no resize analog (media bytes go
+    straight to disk, 钓鱼视频.py:25-28); this is builder-brief multimodal
+    pipeline surface."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = media.resize_media(d, 320, 240, decoder=media.sha_dims_decoder)
+    return out.select("media_id", "src_width", "src_height",
+                      "out_width", "out_height", "n_out_bytes")
+
+
 # =====================================================================
 # PageRank (§2.A A6) + the crawl itself
 # =====================================================================
@@ -4476,9 +4513,11 @@ _VERIFY_FIRST: list[str] = [
     # --- r02's one red row, fixed this round (array column serialized) ---
     "anchor_text_agg",
     # --- round-3 additions (registered below/this round) ---
-    "pool_probe_cycle", "containment_lsh",
+    "pool_probe_cycle", "containment_lsh", "media_resize",
     # --- highest-value queries that fell out of r02's window ---
-    "crawl_docs", "dedup_minhash_lsh", "pagerank_ranks",
+    # (pagerank_ranks yielded its slot to media_resize: r01-green and
+    # pinned by pytest, while media_resize has no driver record yet)
+    "crawl_docs", "dedup_minhash_lsh",
 ]
 
 

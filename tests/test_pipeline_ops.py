@@ -44,6 +44,44 @@ def test_media_meta_decode_error_becomes_data(spark, docs):
     assert all(r.n_bytes > 0 for r in out)  # stat columns still computed
 
 
+def test_resize_media_fit_within_math_and_bytes(spark, docs):
+    """Fit-within: never upscales, preserves aspect ratio within 1 px,
+    floors to a 1-px minimum, and the fake re-encode emits exactly
+    3 bytes/px. sha_dims_decoder dims must match a host-side recompute
+    (the same derivation the SQL oracle uses)."""
+    import hashlib as hl
+
+    m = docs.limit(50).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    rows = {r.media_id: r for r in
+            media.resize_media(m, 320, 240, decoder=media.sha_dims_decoder).collect()}
+    texts = {r.media_id: r.text for r in
+             m.join(docs.select(F.col("doc_id").alias("media_id"), "text"),
+                    "media_id").select("media_id", "text").collect()}
+    assert rows and len(rows) == len(texts)
+    for mid, r in rows.items():
+        assert r.error is None
+        h = hl.sha256(texts[mid].encode()).hexdigest()
+        assert (r.src_width, r.src_height) == (
+            64 + int(h[0:4], 16) % 512, 64 + int(h[4:8], 16) % 512)
+        assert r.out_width <= max(320, 1) and r.out_height <= max(240, 1)
+        assert r.out_width <= r.src_width and r.out_height <= r.src_height
+        scale = min(320 / r.src_width, 240 / r.src_height, 1.0)
+        assert r.out_width == max(1, int(r.src_width * scale))
+        assert r.out_height == max(1, int(r.src_height * scale))
+        assert r.n_out_bytes == r.out_width * r.out_height * 3
+
+
+def test_resize_media_gated_decoder_errors_become_data(spark, docs):
+    m = docs.limit(4).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = media.resize_media(m, 64, 64).collect()  # default decode_image gate
+    assert all(r.error is not None and "NotImplementedError" in r.error for r in out)
+    assert all(r.out_width is None and r.n_out_bytes is None for r in out)
+
+
 def test_frame_sample_plan(spark, docs):
     m = docs.limit(3).select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
