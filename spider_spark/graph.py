@@ -153,3 +153,95 @@ def dedup_cluster_reps(
             ),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected simple graph induced by ``edges``.
+
+    Why a crawler wants this: dense triangle neighbourhoods in the HOST
+    graph are the classic link-farm / mirror-ring signature (TrustRank's
+    spam-mass cousin), and local clustering feeds the same crawl-ordering
+    policy tier as pagerank()/hits(). The reference has no graph analytics
+    at all (its link handling is per-URL set_url_links, master.py); this
+    is brief-mandated web-graph capability.
+
+    Algorithm: degree-ordered compact-forward (Latapy, TCS 2008; the
+    node-iterator++ of Suri & Vassilvitskii, WWW'11 — public papers).
+    Every undirected edge is oriented from the lower (degree, node) end to
+    the higher, so each wedge u→{v,w} is generated exactly once at its
+    lowest-order vertex and the wedge count is bounded by m·α (α =
+    arboricity) instead of Σ deg² — the difference between a Zipf-skewed
+    web host graph melting a straggler task and finishing: the hottest
+    hub generates NO wedges because all its edges point INTO it.
+
+    Plan shape: distinct (1 shuffle on the canonical edge) → degree agg
+    (1 shuffle, map-side partial) → two degree joins (broadcast-able when
+    the node table is small; hash otherwise) → self-join on the wedge
+    centre u (1 shuffle, the bounded one) → left-semi close-edge probe
+    (1 shuffle) → role-explode + count (1 shuffle, partial-agg absorbs
+    hub skew). No driver collects, no row-data materialization.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    right = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = (
+        oriented.join(right, F.col("u") == F.col("u2"))
+        .where(F.col("v") < F.col("w"))
+        .select("u", "v", "w")
+    )
+    # close the wedge against the CANONICAL edge set: (v, w) is already
+    # lexicographic (v < w), exactly und's (a, b) key
+    tri = wedges.join(
+        und, (wedges["v"] == und["a"]) & (wedges["w"] == und["b"]), "left_semi"
+    )
+    cnt = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d, t = F.col("degree"), F.col("n_triangles")
+    return (
+        deg.join(cnt, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(t, F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                d > 1,
+                2.0 * F.coalesce(t, F.lit(0)).cast("double")
+                / (d.cast("double") * (d.cast("double") - 1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

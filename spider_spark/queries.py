@@ -2110,6 +2110,54 @@ def doc_fingerprints(spark, sf_dir):
     return grams.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
+@q(
+    "bpe_token_counts",
+    f"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    b AS (SELECT doc_id,
+                 regexp_extract_all(text, '{textops.BPE_SPLIT_PATTERN.replace("'", "''")}') AS pieces,
+                 {_SQL_TOKENS} AS toks
+          FROM t)
+    SELECT doc_id,
+           len(pieces)::BIGINT AS n_bpe_tokens,
+           len(list_filter(pieces, p -> regexp_matches(p, '\\p{{L}}')))::BIGINT AS n_word_pieces,
+           len(toks)::BIGINT AS n_ws_tokens,
+           CASE WHEN len(toks) > 0
+                THEN round(len(pieces)::DOUBLE / len(toks)::DOUBLE, 6)
+                ELSE 0.0 END AS pieces_per_word
+    FROM b
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """LLM token budgeting: BPE-style pre-tokenizer counts (GPT-2 split
+    pattern, textops.BPE_SPLIT_PATTERN) next to plain whitespace counts —
+    the pieces_per_word ratio is the standard chars-free fertility proxy
+    for budget planning. Entirely JVM-side regexp_extract_all (no Python
+    in the hot path); the oracle runs the IDENTICAL pattern through
+    DuckDB's RE2 — the pattern is written to the common Java-regex/RE2
+    dialect (no lookahead, explicit whitespace class) so both engines
+    tokenize bit-identically. Builder-brief text-analysis tier (token
+    counting: whitespace + a BPE-ish regex); reference has no tokenizer
+    (its text handling stops at regex field extraction, qcc.py)."""
+    d = T(spark, sf_dir, "documents")
+    pieces = textops.bpe_tokens_col(F.col("text"))
+    toks = textops.tokens_col(F.coalesce(F.col("text"), F.lit("")))
+    b = d.select(
+        "doc_id", pieces.alias("pieces"), toks.alias("toks")
+    )
+    n_p, n_t = F.size("pieces").cast("long"), F.size("toks").cast("long")
+    word = F.filter(F.col("pieces"), lambda p: p.rlike(r"\p{L}"))
+    return b.select(
+        "doc_id",
+        n_p.alias("n_bpe_tokens"),
+        F.size(word).cast("long").alias("n_word_pieces"),
+        n_t.alias("n_ws_tokens"),
+        F.when(n_t > 0, F.round(n_p.cast("double") / n_t.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pieces_per_word"),
+    )
+
+
 # =====================================================================
 # Deduplication suite (training-data tier) over documents/embeddings
 # =====================================================================
@@ -2976,6 +3024,34 @@ def media_resize(spark, sf_dir):
                       "out_width", "out_height", "n_out_bytes")
 
 
+@q(
+    "media_frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) // 16 + 1 AS n_frames
+               FROM documents)
+    SELECT media_id,
+           unnest(generate_series(0, n_frames - 1, 3))::BIGINT AS frame_no
+    FROM m
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (media.frame_sample_plan): each opaque
+    media payload expands to every-3rd-frame decode tasks — the explode
+    side of a mapInPandas decode (codec absent in this container; frame
+    count derives deterministically from payload length, so the EXPANSION
+    itself is oracle-checked). The explode is map-only (no shuffle): at
+    100 TB the frame tasks inherit the media scan's partitioning and flow
+    straight into the decode stage. Builder-brief multimodal surface
+    (frame-sample); reference downloads video bytes wholesale
+    (钓鱼视频.py:25-28) with no sampling tier."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    plan = media.frame_sample_plan(d, every_n=3)
+    return plan.select("media_id", F.col("frame_no").cast("long").alias("frame_no"))
+
+
 # =====================================================================
 # PageRank (§2.A A6) + the crawl itself
 # =====================================================================
@@ -3467,6 +3543,82 @@ def host_graph_rank(spark, sf_dir):
     )
     ranks = pagerank(edges, alpha=0.9, iters=5)
     return ranks.select(F.col("url").alias("node"), F.round("rank", 8).alias("rank"))
+
+
+_TRIANGLE_EDGES_SQL = """
+      SELECT 'u' || doc_id::VARCHAR AS s,
+             'u' || ((doc_id + 1) % (SELECT count(*) FROM documents))::VARCHAR AS d
+      FROM documents
+      UNION ALL
+      SELECT 'u' || doc_id::VARCHAR,
+             'u' || ((doc_id + 2) % (SELECT count(*) FROM documents))::VARCHAR
+      FROM documents
+      UNION ALL
+      SELECT 'u' || doc_id::VARCHAR,
+             'u' || ((doc_id * 7 + 1) % (SELECT count(*) FROM documents))::VARCHAR
+      FROM documents
+"""
+
+
+@q(
+    "host_triangles",
+    f"""
+    WITH e0 AS ({_TRIANGLE_EDGES_SQL}),
+    base AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+             FROM e0 WHERE s <> d),
+    deg AS (SELECT node, count(*) AS degree FROM
+              (SELECT a AS node FROM base UNION ALL SELECT b FROM base)
+            GROUP BY node),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM base e1
+            JOIN base e2 ON e2.a = e1.b
+            JOIN base e3 ON e3.a = e1.a AND e3.b = e2.b),
+    cnt AS (SELECT node, count(*) AS t FROM
+              (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+            GROUP BY node)
+    SELECT d.node AS host, d.degree,
+           coalesce(c.t, 0)::BIGINT AS n_triangles,
+           round(CASE WHEN d.degree > 1
+                 THEN 2.0 * coalesce(c.t, 0) / (d.degree * (d.degree - 1.0))
+                 ELSE 0.0 END, 8) AS clustering
+    FROM deg d LEFT JOIN cnt c ON c.node = d.node
+    """,
+)
+def host_triangles(spark, sf_dir):
+    """Per-host triangle counts + local clustering coefficient
+    (graph.triangle_counts — degree-ordered compact-forward, the
+    arboricity-bounded wedge enumeration that survives Zipf hub skew at
+    web scale; see the graph.py docstring for the shuffle budget). Link
+    farms and mirror rings show up as dense-triangle host neighbourhoods —
+    the policy signal TrustRank/url_trap_scores don't capture. The input
+    graph is the same deterministic doc-derived construction family as
+    host_graph_rank, extended with ring edges (i→i+1, i→i+2) so every node
+    sits in at least one triangle and the clustering column is non-trivial;
+    the DuckDB oracle enumerates triangles by lexicographic a<b<c 3-way
+    join — a DIFFERENT enumeration order than the engine's degree
+    orientation, so agreement checks the algorithm, not the
+    implementation."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+
+    def lbl(c):
+        return F.concat(F.lit("u"), c.cast("string"))
+
+    e = (
+        docs.select(lbl(i).alias("src"), lbl((i + 1) % n).alias("dst"))
+        .unionByName(docs.select(lbl(i).alias("src"), lbl((i + 2) % n).alias("dst")))
+        .unionByName(docs.select(lbl(i).alias("src"), lbl((i * 7 + 1) % n).alias("dst")))
+    )
+    t = graph.triangle_counts(e)
+    return t.select(
+        F.col("node").alias("host"),
+        "degree",
+        "n_triangles",
+        F.round("clustering", 8).alias("clustering"),
+    )
 
 
 _CONTAIN_CORPUS_SQL = f"""

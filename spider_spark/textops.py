@@ -43,6 +43,37 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
+#: GPT-2-family pre-tokenizer split pattern (Radford et al. 2019, public),
+#: minus the trailing ``\s+(?!\S)`` lookahead — RE2 (DuckDB) has no
+#: lookahead, so the oracle-reproducible variant merges it into the plain
+#: ``\s+`` branch (the only divergence from GPT-2: a token-leading space
+#: before a final whitespace run is not split off — count-identical on any
+#: text without trailing interior whitespace runs). Whitespace is the
+#: explicit class ``[ \t\n\r\f]`` rather than ``\s``: Java's default ``\s``
+#: includes ``\x0B`` while RE2's does not, and the pattern must mean the
+#: SAME thing to Spark (java.util.regex) and DuckDB (RE2). Both engines use
+#: leftmost-FIRST alternation, so branch order is semantics — keep it.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\r\f\p{L}\p{N}]+"
+    r"|[ \t\n\r\f]+"
+)
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-style pre-tokens (the unit a byte-pair encoder would merge
+    within): contractions split off, letter runs / digit runs / punctuation
+    runs each with an optional leading space, whitespace runs kept. All
+    JVM-side (regexp_extract_all → whole-stage codegen); the per-token cost
+    a Python tokenizer UDF would pay per ROW is paid once per BATCH of
+    codegen here. Token *counts* from this split are the standard proxy for
+    LLM token budgeting when the merge table itself isn't needed."""
+    return F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(BPE_SPLIT_PATTERN), 0
+    )
+
+
 def grams_all_col(toks: Column, n: int) -> Column:
     """ALL word n-grams (duplicates kept) over a token-array column —
     the within-doc repetition signals need multiplicity.

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from spider_spark.graph import connected_components, dedup_cluster_reps
+from spider_spark.graph import connected_components, dedup_cluster_reps, triangle_counts
 
 
 def _labels(spark, edges, **kw):
@@ -110,3 +110,46 @@ def test_dedup_cluster_reps_no_pairs(spark):
     rows = {r["doc_id"]: (r["rep"], r["is_survivor"])
             for r in dedup_cluster_reps(docs, pairs).collect()}
     assert rows == {i: (i, True) for i in range(4)}
+
+
+# ---------------------------------------------------------------- triangles
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: (r["degree"], r["n_triangles"], round(r["clustering"], 8))
+        for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangle_k4(spark):
+    # K4: every node degree 3, sits in 3 of the 4 triangles, clustering 1.0
+    nodes = "abcd"
+    edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    out = _tri(spark, edges)
+    assert out == {n: (3, 3, 1.0) for n in nodes}
+
+
+def test_triangle_square_with_diagonal_and_pendant(spark):
+    # square a-b-c-d-a plus diagonal a-c plus pendant e on d:
+    # triangles abc and acd; b,d in one each, a,c in two
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"), ("d", "e")]
+    out = _tri(spark, edges)
+    assert out["a"] == (3, 2, round(2 * 2 / (3 * 2), 8))
+    assert out["c"] == (3, 2, round(2 * 2 / (3 * 2), 8))
+    assert out["b"] == (2, 1, 1.0)
+    assert out["d"] == (3, 1, round(2 * 1 / (3 * 2), 8))
+    assert out["e"] == (1, 0, 0.0)
+
+
+def test_triangle_counts_direction_and_duplicate_invariant(spark):
+    # same triangle expressed with reversed/duplicated/self-loop edges
+    edges = [("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "a")]
+    out = _tri(spark, edges)
+    assert out == {n: (2, 1, 1.0) for n in "abc"}
+
+
+def test_triangle_free_graph(spark):
+    # star: wedges everywhere, zero closures
+    out = _tri(spark, [("hub", f"s{i}") for i in range(5)])
+    assert out["hub"] == (5, 0, 0.0)
+    assert all(out[f"s{i}"] == (1, 0, 0.0) for i in range(5))

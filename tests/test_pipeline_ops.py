@@ -765,3 +765,65 @@ def test_phrase_hits_matches_python_reference(spark):
     got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
            for r in phrase_hits(df, phrase).collect()}
     assert got == expected
+
+
+# --------------------------------------------------------- BPE pre-tokenizer
+def _bpe(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(textops.bpe_tokens_col(F.col("text")).alias("p")).collect()[0]["p"]
+
+
+def test_bpe_contractions_and_punct(spark):
+    assert _bpe(spark, "don't stop 123 times!!") == [
+        "don", "'t", " stop", " 123", " times", "!!",
+    ]
+
+
+def test_bpe_uppercase_contraction_not_special(spark):
+    # GPT-2's contraction branch is lowercase-only: ISN'T splits at the quote
+    assert _bpe(spark, "ISN'T") == ["ISN", "'", "T"]
+
+
+def test_bpe_whitespace_runs_and_unicode_letters(spark):
+    assert _bpe(spark, "a  b") == ["a", "  ", "b"]
+    assert _bpe(spark, "héllo 世界") == ["héllo", " 世界"]
+
+
+def test_bpe_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    out = df.select(F.size(textops.bpe_tokens_col(F.col("text"))).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0]
+
+
+def test_bpe_pattern_matches_duckdb_re2(spark, docs):
+    """The oracle contract in miniature: Java regex and RE2 must tokenize
+    the real corpus identically (count-level, which is what the query
+    exposes)."""
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(textops.bpe_tokens_col(F.col("text"))).alias("n")
+        ).collect()
+    }
+    pat = textops.BPE_SPLIT_PATTERN.replace("'", "''")
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, len(regexp_extract_all(coalesce(text,''), '{pat}')) "
+            f"FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --------------------------------------------------------- frame sampling
+def test_frame_sample_plan_every_n(spark):
+    m = spark.createDataFrame(
+        [(1, b"x" * 15), (2, b"x" * 16), (3, b"x" * 50)],
+        "media_id long, payload binary",
+    )
+    # n_frames = len//16 + 1 -> 1, 2, 4; every 3rd frame from 0
+    out = media.frame_sample_plan(m, every_n=3)
+    got = sorted((r["media_id"], r["frame_no"]) for r in out.collect())
+    assert got == [(1, 0), (2, 0), (3, 0), (3, 3)]
