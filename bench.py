@@ -94,6 +94,9 @@ HEADLINE = [
     "containment_lsh",       # round 3: LSH-candidate-restricted containment
     "pool_probe_cycle",      # round 3: proxy tester cycle as one pass
     "media_resize",          # round 3: multimodal fit-within resize (map-only)
+    "host_triangles",        # round 3: degree-ordered triangle counting
+    "bpe_token_counts",      # round 3: GPT-2-style pre-tokenizer budgeting
+    "media_frame_sample",    # round 3: frame-sampling explode plumbing
 ]
 
 

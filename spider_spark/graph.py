@@ -186,6 +186,11 @@ def triangle_counts(
     (1 shuffle) → role-explode + count (1 shuffle, partial-agg absorbs
     hub skew). No driver collects, no row-data materialization.
     """
+    # und fans out 4× (degree agg ×2, orientation join, close-edge probe)
+    # and deg 3× (two orientation joins + the final join) — persist both or
+    # every consumer re-executes the distinct/agg lineage (measured 7.4 s →
+    # 1.7-3.5 s on a 15k-edge graph at local[32]; the un-persisted physical
+    # plan was 675 nodes of repeated scan+Exchange).
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -193,12 +198,14 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
     )
     keyed = (
         und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")

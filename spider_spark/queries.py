@@ -4666,10 +4666,14 @@ _VERIFY_FIRST: list[str] = [
     "anchor_text_agg",
     # --- round-3 additions (registered below/this round) ---
     "pool_probe_cycle", "containment_lsh", "media_resize",
-    # --- highest-value queries that fell out of r02's window ---
-    # (pagerank_ranks yielded its slot to media_resize: r01-green and
-    # pinned by pytest, while media_resize has no driver record yet)
-    "crawl_docs", "dedup_minhash_lsh",
+    "host_triangles", "bpe_token_counts",
+    # crawl_docs / dedup_minhash_lsh / pagerank_ranks yielded their slots
+    # to round-3 additions: all three are r01-green in the driver record
+    # and pinned by pytest + the crawl-parity fixtures, while the new
+    # operators have no driver record yet. crawl semantics stay inside the
+    # window via crawl_docs_rep (same engine path, full oracle).
+    # media_frame_sample is the one registered query left for the r04
+    # window (sf0.01 oracle green locally; window is exactly 50).
 ]
 
 
