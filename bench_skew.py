@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spider_spark.graph import triangle_counts  # noqa: E402
 from spider_spark.pagerank import hits, pagerank  # noqa: E402
 from spider_spark.session import get_spark  # noqa: E402
 from spider_spark.webindex import anchor_profile  # noqa: E402
@@ -85,6 +86,11 @@ def run_once(spark, edges, which: str, reps: int = 2) -> float:
             hits(edges, iters=5).count()
         elif which == "anchor_salted":
             anchor_salted_shape(edges).count()
+        elif which == "triangles":
+            # degree orientation claim under test: the Zipf hub's edges all
+            # point INTO it, so it emits no wedges and the self-join stays
+            # arboricity-bounded even when one node holds ~6% of all edges
+            triangle_counts(edges).count()
         else:
             anchor_agg_shape(edges).count()
         best = min(best, time.time() - t0)
@@ -113,12 +119,13 @@ def main() -> None:
     hits(un, iters=1).count()
     anchor_agg_shape(un).count()
     anchor_salted_shape(un).count()
+    triangle_counts(un.limit(50_000)).count()
 
     results: dict[str, dict[str, float]] = {}
     for aqe in (True, False):
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
-        for which in ("pagerank", "hits", "anchor_agg", "anchor_salted"):
+        for which in ("pagerank", "hits", "anchor_agg", "anchor_salted", "triangles"):
             for label, edges in (("skew", sk), ("unif", un)):
                 key = f"{which}_{label}_aqe{'on' if aqe else 'off'}"
                 results.setdefault(which, {})[f"{label}_aqe{'on' if aqe else 'off'}"] = round(

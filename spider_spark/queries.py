@@ -3621,6 +3621,77 @@ def host_triangles(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 20) -> str:
+    """Unrolled synchronous k-core peel: round i keeps nodes whose degree
+    in e_{i-1} is ≥ k and restricts the edge set to them. Extra rounds
+    past the fixed point are no-ops, so a static unroll depth of 20
+    (covers tree height up to 2^19 docs) reproduces the engine's
+    peel-until-converged loop exactly. MATERIALIZED per level — each
+    e_i is referenced three times by level i+1."""
+    pre = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+        SELECT 'u' || doc_id::VARCHAR AS s,
+               'u' || ((doc_id - 1) // 2)::VARCHAR AS d
+        FROM documents WHERE doc_id >= 1
+        UNION ALL
+        SELECT 'u' || x.doc_id::VARCHAR, 'u' || y.doc_id::VARCHAR
+        FROM documents x JOIN documents y
+          ON x.doc_id < y.doc_id AND x.doc_id < 10 AND y.doc_id < 10
+      ) WHERE s <> d),
+    nodes AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b FROM e0)"""
+    parts = [pre]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+    k{i} AS MATERIALIZED (
+      SELECT node FROM (SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p})
+      GROUP BY node HAVING count(*) >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT a, b FROM e{p}
+      WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i}))""")
+    return (
+        ",".join(parts)
+        + f""",
+    cd AS (SELECT node, count(*) AS core_degree FROM
+             (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+           GROUP BY node)
+    SELECT n.node, cd.node IS NOT NULL AS in_core,
+           coalesce(cd.core_degree, 0)::BIGINT AS core_degree
+    FROM nodes n LEFT JOIN cd ON cd.node = n.node"""
+    )
+
+
+@q("host_kcore", _kcore_oracle(k=3, rounds=20))
+def host_kcore(spark, sf_dir):
+    """k-core decomposition (graph.kcore, synchronous peel) on a graph
+    built to exercise real peel DEPTH: a binary tree over all docs
+    (i — (i-1)//2) whose leaves cascade away layer by layer (~log2 n peel
+    rounds — 8 at sf0.01, 12 at sf0.1), plus a K10 clique on docs 0-9
+    that is exactly the surviving 3-core (core_degree 9 each). Dense
+    cores are where link farms and mirror rings live; the honest
+    tree-ish web peels out. Oracle: the unrolled 20-level peel — deeper
+    than any fixture's fixed point, and no-op levels past convergence
+    keep it exact."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+
+    def lbl(c):
+        return F.concat(F.lit("u"), c.cast("string"))
+
+    tree = docs.where(i >= 1).select(
+        lbl(i).alias("src"),
+        lbl(F.floor((i - 1) / 2).cast("long")).alias("dst"),
+    )
+    left = docs.where(i < 10).select(i.alias("x"))
+    right = docs.where(i < 10).select(i.alias("y"))
+    clique = left.join(right, F.col("x") < F.col("y")).select(
+        lbl(F.col("x")).alias("src"), lbl(F.col("y")).alias("dst")
+    )
+    out = graph.kcore(tree.unionByName(clique), k=3)
+    return out.select("node", "in_core", "core_degree")
+
+
 _CONTAIN_CORPUS_SQL = f"""
       SELECT doc_id, text FROM documents
       UNION ALL

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from spider_spark.graph import connected_components, dedup_cluster_reps, triangle_counts
+from spider_spark.graph import connected_components, dedup_cluster_reps, kcore, triangle_counts
 
 
 def _labels(spark, edges, **kw):
@@ -153,3 +153,46 @@ def test_triangle_free_graph(spark):
     out = _tri(spark, [("hub", f"s{i}") for i in range(5)])
     assert out["hub"] == (5, 0, 0.0)
     assert all(out[f"s{i}"] == (1, 0, 0.0) for i in range(5))
+
+
+# ------------------------------------------------------------------- k-core
+def _kcore(spark, edges, k):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: (r["in_core"], r["core_degree"])
+        for r in kcore(df, k=k).collect()
+    }
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    # K4 (a..d) with a path tail d-e-f-g: 2-core = K4 only — the tail
+    # peels from g inward, one layer per round (depth > 1 exercises the
+    # cascade, not just the first sweep)
+    nodes = "abcd"
+    edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    edges += [("d", "e"), ("e", "f"), ("f", "g")]
+    out = _kcore(spark, edges, k=2)
+    assert out == {
+        "a": (True, 3), "b": (True, 3), "c": (True, 3), "d": (True, 3),
+        "e": (False, 0), "f": (False, 0), "g": (False, 0),
+    }
+
+
+def test_kcore_everything_peels(spark):
+    # a 12-node path has no 2-core: synchronous peel takes 6 rounds
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    out = _kcore(spark, edges, k=2)
+    assert all(v == (False, 0) for v in out.values())
+    assert len(out) == 12
+
+
+def test_kcore_k1_keeps_every_incident_node(spark):
+    out = _kcore(spark, [("a", "b"), ("b", "c")], k=1)
+    assert out == {"a": (True, 1), "b": (True, 2), "c": (True, 1)}
+
+
+def test_kcore_duplicate_and_reversed_edges(spark):
+    # triangle given with duplicates/reversals/self-loop: 2-core = triangle
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "c")]
+    out = _kcore(spark, edges, k=2)
+    assert out == {n: (True, 2) for n in "abc"}
