@@ -1696,6 +1696,76 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64        # deliberately tight: 150 keys in 64 buckets forces
+                       # collisions so the min-over-rows estimator is
+                       # actually exercised (overestimate > 0 on the fixture)
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    WITH ev AS (SELECT 'h' || user_id::VARCHAR AS k FROM events),
+    d AS (SELECT unnest([{", ".join(str(i) for i in range(_CMS_DEPTH))}]) AS i),
+    hb AS (SELECT k, i, ({textops.hash60_sql("i::VARCHAR || ':' || k")}) % {_CMS_WIDTH} AS b
+           FROM ev, d),
+    counters AS (SELECT i, b, count(*) AS c FROM hb GROUP BY i, b),
+    truth AS (SELECT k, count(*) AS true_count FROM ev GROUP BY k),
+    kb AS (SELECT t.k, t.true_count, d.i,
+                  ({textops.hash60_sql("d.i::VARCHAR || ':' || t.k")}) % {_CMS_WIDTH} AS b
+           FROM truth t, d)
+    SELECT kb.k AS host,
+           kb.true_count::BIGINT AS true_count,
+           min(c.c)::BIGINT AS cms_estimate,
+           (min(c.c) - kb.true_count)::BIGINT AS overestimate
+    FROM kb JOIN counters c ON c.i = kb.i AND c.b = kb.b
+    GROUP BY kb.k, kb.true_count
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode-Muthukrishnan, J.Alg 2005) frequency
+    estimation — the hot-host / heavy-hitter telemetry a frontier needs at
+    10^10 URLs, where an exact per-host count is a full shuffle but the
+    sketch is ONE map pass partially aggregated into depth×width = 256
+    counter cells (map-side combine reduces every partition to ≤256 rows
+    before the exchange; the counter table then BROADCASTS to estimate any
+    key set). Deterministic row hashes via the shared md5 hash60, so DuckDB
+    reproduces every counter cell and every min-estimate exactly; width is
+    sized below the fixture's key count so collisions (and the CMS
+    one-sided overestimate) are real in the output. The exact count rides
+    along to make the query self-auditing — overestimate ≥ 0 is the CMS
+    guarantee, asserted in pytest."""
+    ev = T(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("k")
+    )
+    depth_lits = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+
+    def bucket(i_col, k_col):
+        return textops.hash60(
+            F.concat(i_col.cast("string"), F.lit(":"), k_col)
+        ) % _CMS_WIDTH
+
+    hb = ev.select("k", F.explode(depth_lits).alias("i")).select(
+        "k", "i", bucket(F.col("i"), F.col("k")).alias("b")
+    )
+    counters = hb.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    truth = ev.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    kb = truth.select("k", "true_count", F.explode(depth_lits).alias("i")).select(
+        "k", "true_count", "i", bucket(F.col("i"), F.col("k")).alias("b")
+    )
+    est = (
+        kb.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("k", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("k").alias("host"),
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overestimate"),
+    )
+
+
 _HLL_M = 1024          # 2^10 registers
 _HLL_ALPHA = 0.7205407583220416   # 0.7213 / (1 + 1.079/1024), inlined both sides
 _HLL_POW51 = 2251799813685248     # 2^51

@@ -827,3 +827,20 @@ def test_frame_sample_plan_every_n(spark):
     out = media.frame_sample_plan(m, every_n=3)
     got = sorted((r["media_id"], r["frame_no"]) for r in out.collect())
     assert got == [(1, 0), (2, 0), (3, 0), (3, 3)]
+
+
+# ------------------------------------------------------- count-min sketch
+def test_cms_overestimates_only_and_exact_when_wide(spark):
+    from spider_spark.queries import QUERIES
+
+    out = QUERIES["cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    # CMS guarantee: one-sided error
+    assert all(r["overestimate"] >= 0 for r in out)
+    assert all(r["cms_estimate"] == r["true_count"] + r["overestimate"] for r in out)
+    # at sf0.01 the key count (150) exceeds the width (64), so collisions
+    # are guaranteed and the min-over-rows estimator must be doing work
+    # (sf0.001 has too few keys to force any)
+    big = QUERIES["cms_heavy_hitters"](spark, "/root/testdata/sf0.01").collect()
+    assert all(r["overestimate"] >= 0 for r in big)
+    assert sum(r["overestimate"] for r in big) > 0
