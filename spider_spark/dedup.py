@@ -964,3 +964,141 @@ def connected_survivors(
     edges.unpersist()
     both.unpersist()
     return labels.select("doc_id", F.col("label").alias("survivor_id"))
+
+
+# ------------------------------------------------------------- semantic dedup
+def semdedup_flags(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.47,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic deduplication that clusters the embedding space first and
+    compares pairs ONLY within a cluster, turning the quadratic all-pairs
+    cosine scan into k independent (n/k)²-size problems. Greedy keep rule:
+    within a cluster, a row is dropped iff some SAME-CLUSTER row with a
+    smaller id sits at cosine ≥ threshold (keep-lowest-id — deterministic,
+    the paper's "keep one random point per group" made reproducible).
+
+    Clustering is deterministic leader assignment: the ``n_clusters`` rows
+    with the smallest md5(id) are the leaders (a seeded sample any engine
+    can reproduce), and every row joins its argmax-cosine leader (ties by
+    leader index). Leaders are a ``n_clusters × dim`` plan literal — the
+    broadcast-model pattern (vectorops.kmeans_centroids) — so assignment is
+    a map-only expression: the corpus never shuffles for clustering, only
+    ONCE on cluster_id for the within-cluster self-join. At 10^10 rows
+    n_clusters scales with the corpus (paper uses ~√n), keeping per-cluster
+    pair volume bounded; a hot cluster splits under AQE skew-join like any
+    other skewed key. Returns (vec_id, cluster_id, is_kept) for every row.
+
+    Reference parity anchor: the dedup tier generalizes the reference's
+    URL-seen first-wins rule (分布式京东商品详情页/mongo_redis_mgr.py:43-47)
+    from exact keys to semantic space; keep-lowest-id is the same
+    first-wins discipline."""
+    from spider_spark.vectorops import _probe_order_col, _to_double, cosine_col
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_v")
+    )
+    leaders = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [list(r["_v"]) for r in leaders]
+    assigned = v.withColumn(
+        "cluster_id", _probe_order_col(F.col("_v"), cents)[0].cast("int")
+    ).persist()
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("_v").alias("_va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("_v").alias("_vb"), "cluster_id"
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cosine_col(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster_id", F.col("_dup").isNull().alias("is_kept"))
+    )
+
+
+# ------------------------------------------------ tf-idf cosine similarity join
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs document similarity by TF-IDF cosine via an inverted-index
+    join (Lin, "Brute force and indexed approaches to pairwise document
+    similarity comparisons with MapReduce", SIGIR'09 — public): instead of
+    scoring every doc pair, join the per-doc term-weight table with itself
+    ON TERM, so a pair is scored only if it shares at least one indexed
+    term, and its dot product is the sum of per-term partial products —
+    exactly a groupBy(a,b) aggregation Catalyst partial-aggregates
+    map-side.
+
+    ``max_df`` is the standard df-cut: terms in more than ``max_df`` docs
+    are dropped from the vector space entirely (weights AND norms — the
+    semantics, not an approximation), because a term with df=d generates
+    d(d-1)/2 pair partials; capping df bounds the index join at
+    O(vocab · max_df²) while near-stopword terms carry ~zero idf anyway.
+    Same smoothed idf as tfidf_top_terms: ln((N+1)/(df+1)).
+
+    ``n`` picks the term granularity: 1 = whitespace tokens, >1 = word
+    n-gram shingles WITH multiplicity (textops.grams_all_col) — the shingle
+    space is the better representation on short-vocabulary or templated
+    text, where every unigram is a stopword but shingles discriminate.
+
+    Returns (a_id, b_id, cos) with a_id < b_id, cos ≥ threshold rounded to
+    6 places. Shuffle ledger: tokenize→tf (1), df agg (1, vocab-sized),
+    self-join on term (1) + pair agg (partial map-side) — no driver
+    materialization anywhere."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), textops.tokens_col(F.col(text_col)).alias("_toks")
+    )
+    terms = (
+        F.col("_toks") if n == 1 else textops.grams_all_col(F.col("_toks"), n)
+    )
+    tok = toks.select("doc_id", F.explode(terms).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    if max_df is not None:
+        df = df.where(F.col("df") <= max_df)
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        tf.join(df, "term")  # inner join: capped terms leave the space
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    wa = w.select(F.col("doc_id").alias("a_id"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("b_id"), "term", F.col("w").alias("wb"))
+    dots = (
+        wa.join(wb, "term")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "a_id").withColumnRenamed("norm", "na"), "a_id")
+        .join(norms.withColumnRenamed("doc_id", "b_id").withColumnRenamed("norm", "nb"), "b_id")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )

@@ -4777,6 +4777,182 @@ def crawl_docs_rep(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 session-3: semantic dedup, similarity self-join, weighted
+# sampling, vocabulary coverage
+# =====================================================================
+
+@q(
+    "semdedup_flags",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    l AS (
+      SELECT vec_id AS lid, v AS lv,
+             row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+      FROM e QUALIFY cid < 8),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, l.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, l.lv) DESC, l.cid) AS rn
+        FROM e CROSS JOIN l)
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT xb.vec_id
+      FROM asg xa JOIN asg xb ON xa.cid = xb.cid AND xa.vec_id < xb.vec_id
+      JOIN e ea ON ea.vec_id = xa.vec_id
+      JOIN e eb ON eb.vec_id = xb.vec_id
+      WHERE list_cosine_similarity(ea.v, eb.v) >= 0.47)
+    SELECT a.vec_id, a.cid::INT AS cluster_id, d.vec_id IS NULL AS is_kept
+    FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+)
+def semdedup_flags(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, compare
+    cosine pairs only WITHIN a cluster, keep the lowest id per dup group —
+    the semantic tier above exact/minhash dedup. Deterministic leader
+    clustering (smallest-md5 rows are the leaders; argmax-cosine assignment
+    ties by leader index) so the oracle reproduces the clusters exactly.
+    Threshold 0.47 sits in the corpus' measured cosine gap. Every row is
+    output with its cluster and keep flag, so the clustering itself is
+    value-checked, not just the dup verdicts."""
+    return dedup.semdedup_flags(
+        T(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.47
+    )
+
+
+@q(
+    "tfidf_sim_join",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+          FROM tok),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+    dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM g GROUP BY 1
+            HAVING count(DISTINCT doc_id) <= 64),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    w AS (SELECT doc_id, term, tf * ln((n + 1.0) / (df + 1.0)) AS w
+          FROM tf JOIN dfx USING (term) CROSS JOIN n),
+    nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM d JOIN nm na ON na.doc_id = a_id JOIN nm nb ON nb.doc_id = b_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.3
+    """,
+)
+def tfidf_sim_join(spark, sf_dir):
+    """All-pairs document similarity by TF-IDF cosine over 3-gram shingle
+    terms via the inverted-index self-join (Lin SIGIR'09) — a pair is
+    scored only if it shares an indexed shingle, and the df-cap (64)
+    bounds the join at O(vocab · max_df²) regardless of corpus size.
+    Threshold 0.3 sits in a measured void: the fixture corpus has NO pair
+    with shingle-space cosine in [0.15, 0.45] (dup families score ≥0.5,
+    background noise <0.15), so float last-ulp can't flip membership."""
+    return dedup.tfidf_cosine_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.3, max_df=64, n=3
+    )
+
+
+_WSAMPLE_HASH_SQL = textops.hash60_sql("'wsample:' || doc_id::VARCHAR")
+
+@q(
+    "sample_weighted_length",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ((({_WSAMPLE_HASH_SQL}) % 1000000) + 1.0) / 1000001.0 AS u,
+             (n_chars + 1)::DOUBLE AS w
+      FROM documents),
+    k AS (SELECT doc_id, lang, -ln(u) / w AS wkey FROM h),
+    r AS (SELECT doc_id, lang, wkey,
+                 row_number() OVER (PARTITION BY lang ORDER BY wkey, doc_id)::INT AS srank
+          FROM k)
+    SELECT doc_id, lang, round(wkey, 9) AS wkey, srank FROM r WHERE srank <= 25
+    """,
+)
+def sample_weighted_length(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES keys over the cross-engine hash), 25 docs per language
+    weighted by document length — the temperature-sampling primitive a
+    domain-mix pipeline uses. Selection probability ∝ n_chars+1 within
+    each stratum; the pick is identical at any cluster size and stable
+    under corpus growth (a row's key depends only on the row)."""
+    from spider_spark import sampling
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "_w", (F.col("n_chars") + 1).cast("double")
+    )
+    return sampling.weighted_sample(d, "lang", 25, "doc_id", "_w").select(
+        "doc_id", "lang", "wkey", "srank"
+    )
+
+
+@q(
+    "vocab_oov_rate",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 20)),
+    per AS (
+      SELECT t.doc_id,
+             count(*)::INT AS n_tokens,
+             count(*) FILTER (v.term IS NULL)::INT AS n_oov
+      FROM tok t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(per.n_tokens, 0) AS n_tokens,
+           coalesce(per.n_oov, 0) AS n_oov,
+           round(CASE WHEN per.n_tokens IS NULL THEN 0
+                      ELSE per.n_oov::DOUBLE / per.n_tokens END, 6) AS oov_rate
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the top-V corpus vocabulary by
+    term frequency (ties by term — exact integer ranking, engine-stable)
+    and score every document's out-of-vocabulary token rate — the signal
+    that decides whether a tokenizer/vocab fits a corpus before training.
+    Scale shape: one tokenize pass feeds the vocab agg (vocab-sized) and
+    the per-doc agg; membership is a broadcast left join against the V-row
+    vocabulary; the rate divides exact integers (bit-identical anywhere)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens_col(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(20)
+        .select("term", F.lit(True).alias("_in"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("int").alias("n_oov"),
+        )
+    )
+    return (
+        d.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.round(
+                F.when(F.col("n_tokens").isNull(), F.lit(0.0)).otherwise(
+                    F.col("n_oov").cast("double") / F.col("n_tokens")
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-verification window rotation
 # =====================================================================
 # The correctness driver verifies the FIRST 50 registry entries per round.

@@ -83,3 +83,44 @@ def stratified_sample(
         .where(F.col("_srn") <= quota)
         .drop("_srn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, exact k per
+    stratum — the A-ES exponential-jump scheme (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006 — public):
+    every row draws a key ``-ln(u)/w`` from its own hash-uniform
+    ``u ∈ (0,1]`` and weight ``w``; the k SMALLEST keys per stratum are
+    exactly a weighted reservoir sample (row selection probability ∝ w,
+    without replacement). The "randomness" is the shared cross-engine md5
+    hash of (salt, key), so the sample is identical on any engine, any
+    cluster size, any partition layout — and a row's key never changes
+    when the corpus grows, so incremental re-curation keeps prior picks
+    stable unless genuinely outweighed.
+
+    Physical shape: the key is a map-only expression; per-stratum top-k is
+    a row_number window that Spark's InferWindowGroupLimit rewrites into a
+    partial per-partition top-k BEFORE the Exchange(strata) (rank-limit
+    pushdown), so the shuffle carries ≤ k·partitions rows per stratum, not
+    the stratum. Weights must be > 0 — caller clamps (e.g. n_chars + 1).
+
+    Returns the sampled rows plus ``wkey`` (rounded to 9) and ``srank``.
+    Pipeline surface: temperature-sampling a domain mix by quality weight
+    is exactly this operator with w = quality**(1/T)."""
+    h = F.pmod(sample_hash_col(F.col(key_col), salt), F.lit(SAMPLE_MOD))
+    u = (h + 1.0) / float(SAMPLE_MOD + 1)  # uniform in (0, 1], never ln(0)
+    wkey = -F.log(u) / F.col(weight_col).cast("double")
+    win = Window.partitionBy(strata_col).orderBy(wkey.asc(), F.col(key_col))
+    return (
+        df.withColumn("wkey", wkey)
+        .withColumn("srank", F.row_number().over(win).cast("int"))
+        .where(F.col("srank") <= k)
+        .withColumn("wkey", F.round("wkey", 9))
+    )

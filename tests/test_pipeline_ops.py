@@ -844,3 +844,110 @@ def test_cms_overestimates_only_and_exact_when_wide(spark):
     big = QUERIES["cms_heavy_hitters"](spark, "/root/testdata/sf0.01").collect()
     assert all(r["overestimate"] >= 0 for r in big)
     assert sum(r["overestimate"] for r in big) > 0
+
+
+# ------------------------------------------------------------- semantic dedup
+def test_semdedup_keep_rule_and_cluster_scoping(spark):
+    # two exact-dup groups in distinct regions of space plus two singletons;
+    # vectors chosen so leader assignment separates the groups
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),     # dup of 0 — must be dropped (larger id)
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),     # dup of 2 — dropped
+        (4, [0.0, 0.0, 1.0]),     # singleton — kept
+        (5, [0.7, 0.7, 0.0]),     # between the groups but below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in dedup.semdedup_flags(df, n_clusters=3, threshold=0.95).collect()}
+    assert len(out) == 6  # every row present exactly once
+    assert not out[1]["is_kept"] and out[0]["is_kept"]
+    assert not out[3]["is_kept"] and out[2]["is_kept"]
+    assert out[4]["is_kept"] and out[5]["is_kept"]
+    # dup pairs must share a cluster (the keep rule is cluster-scoped)
+    assert out[0]["cluster_id"] == out[1]["cluster_id"]
+    assert out[2]["cluster_id"] == out[3]["cluster_id"]
+
+
+def test_semdedup_cross_cluster_dups_survive(spark):
+    # identical vectors FORCED into different leaders' clusters cannot
+    # happen (argmax is deterministic), so instead check: near-dups that
+    # straddle a cluster boundary are NOT compared — the documented
+    # recall trade of SemDeDup.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.72, 0.70]),   # cos≈0.71 to each axis; lands in one cluster
+        (3, [0.70, 0.72]),   # cos(2,3)≈0.999 but may land in the other
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in dedup.semdedup_flags(df, n_clusters=2, threshold=0.99).collect()}
+    if out[2]["cluster_id"] != out[3]["cluster_id"]:
+        assert out[2]["is_kept"] and out[3]["is_kept"]  # never compared
+    else:
+        assert out[2]["is_kept"] != out[3]["is_kept"] or (
+            out[2]["is_kept"] and out[3]["is_kept"]
+        )
+
+
+# ------------------------------------------------- tf-idf similarity self-join
+def test_tfidf_cosine_pairs_exact_dups_score_one(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+        (2, "one two three four five six"),
+        (3, "totally different words here now yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["cos"] for r in
+           dedup.tfidf_cosine_pairs(df, threshold=0.5, n=3).collect()}
+    assert got == {(0, 1): 1.0}
+
+
+def test_tfidf_cosine_pairs_df_cap_drops_boilerplate(spark):
+    # a boilerplate shingle shared by 3 of 4 docs is the only overlap
+    # between 0 and 2 (df < N keeps its smoothed idf positive — a term in
+    # EVERY doc already gets idf ln((N+1)/(N+1)) = 0 and needs no cap);
+    # with max_df=2 it leaves the space, so the (0,2)/(1,2) pairs disappear
+    rows = [
+        (0, "common shared tail alpha beta"),
+        (1, "common shared tail alpha beta"),
+        (2, "common shared tail other words"),
+        (3, "unique totally different things here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.tfidf_cosine_pairs(df, threshold=0.01, n=3)
+    assert {(r["a_id"], r["b_id"]) for r in uncapped.collect()} == {(0, 1), (0, 2), (1, 2)}
+    capped = dedup.tfidf_cosine_pairs(df, threshold=0.01, max_df=2, n=3)
+    assert {(r["a_id"], r["b_id"]) for r in capped.collect()} == {(0, 1)}
+
+
+# ----------------------------------------------------------- weighted sampling
+def test_weighted_sample_quota_and_determinism(spark, docs):
+    from spider_spark import sampling
+
+    d = docs.withColumn("_w", (F.col("n_chars") + 1).cast("double"))
+    s1 = sampling.weighted_sample(d, "lang", 5, "doc_id", "_w")
+    counts = {r["lang"]: r["n"] for r in
+              s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, strata[lang])
+    # identical selection on a repartitioned input (layout independence)
+    s2 = sampling.weighted_sample(
+        d.repartition(13), "lang", 5, "doc_id", "_w"
+    )
+    assert {(r["doc_id"], r["srank"]) for r in s1.collect()} == {
+        (r["doc_id"], r["srank"]) for r in s2.collect()
+    }
+
+
+def test_weighted_sample_weights_bias_selection(spark):
+    from spider_spark import sampling
+
+    # one row gets overwhelming weight: it must always be picked at k=1
+    rows = [(i, "x", 1.0 if i else 1e9) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    picked = sampling.weighted_sample(df, "lang", 1, "doc_id", "w").collect()
+    assert len(picked) == 1 and picked[0]["doc_id"] == 0
