@@ -97,6 +97,11 @@ HEADLINE = [
     "host_triangles",        # round 3: degree-ordered triangle counting
     "bpe_token_counts",      # round 3: GPT-2-style pre-tokenizer budgeting
     "media_frame_sample",    # round 3: frame-sampling explode plumbing
+    "host_kcore",            # round 3: k-core decomposition by iterative peel
+    "cms_heavy_hitters",     # round 3: count-min sketch heavy hitters
+    "semdedup_flags",        # round 3: SemDeDup cluster-scoped semantic dedup
+    "tfidf_sim_join",        # round 3: inverted-index TF-IDF similarity join
+    "sample_weighted_length",  # round 3: A-ES weighted reservoir sampling
 ]
 
 

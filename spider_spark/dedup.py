@@ -988,16 +988,20 @@ def semdedup_flags(
     leader index). Leaders are a ``n_clusters × dim`` plan literal — the
     broadcast-model pattern (vectorops.kmeans_centroids) — so assignment is
     a map-only expression: the corpus never shuffles for clustering, only
-    ONCE on cluster_id for the within-cluster self-join. At 10^10 rows
+    ONCE on cluster_id for the within-cluster scoring. At 10^10 rows
     n_clusters scales with the corpus (paper uses ~√n), keeping per-cluster
-    pair volume bounded; a hot cluster splits under AQE skew-join like any
-    other skewed key. Returns (vec_id, cluster_id, is_kept) for every row.
+    pair volume bounded. Within-cluster scoring is one numpy GEMM per
+    cluster group (applyInPandas) — the Arrow-batched dense-scoring path
+    shared with embedding_dup_pairs, ~100× over evaluating the cosine HOF
+    expression per candidate pair, and how the paper computes it (pairwise
+    similarity inside each cluster's matrix). Returns (vec_id, cluster_id,
+    is_kept) for every row.
 
     Reference parity anchor: the dedup tier generalizes the reference's
     URL-seen first-wins rule (分布式京东商品详情页/mongo_redis_mgr.py:43-47)
     from exact keys to semantic space; keep-lowest-id is the same
     first-wins discipline."""
-    from spider_spark.vectorops import _probe_order_col, _to_double, cosine_col
+    from spider_spark.vectorops import _probe_order_col, _to_double
 
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_v")
@@ -1011,18 +1015,24 @@ def semdedup_flags(
     assigned = v.withColumn(
         "cluster_id", _probe_order_col(F.col("_v"), cents)[0].cast("int")
     ).persist()
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("_v").alias("_va"), "cluster_id"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("_v").alias("_vb"), "cluster_id"
-    )
+
+    def dropped_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.array(list(pdf["_v"].to_numpy()[order]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)  # j > i ⇒ ids[j] > ids[i]
+        drop = np.unique(ju[cos[iu, ju] >= threshold])
+        return pd.DataFrame({"vec_id": ids[drop]})
+
     dropped = (
-        a.join(b, "cluster_id")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(cosine_col(F.col("_va"), F.col("_vb")) >= threshold)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
+        assigned.select("cluster_id", "vec_id", "_v")
+        .groupBy("cluster_id")
+        .applyInPandas(dropped_ids, schema="vec_id long")
         .withColumn("_dup", F.lit(True))
     )
     return (
@@ -1085,6 +1095,7 @@ def tfidf_cosine_pairs(
             "term",
             (F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))).alias("w"),
         )
+        .persist()  # fans out 3× (norms + both join sides) — one tokenize pass
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     wa = w.select(F.col("doc_id").alias("a_id"), "term", F.col("w").alias("wa"))
