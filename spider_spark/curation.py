@@ -302,3 +302,54 @@ def blocklist_filter(
         .drop("_dom_hit", "_toks")
     )
     return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: lay documents
+    end-to-end in a deterministic order and cut the stream into fixed
+    ``seq_len``-token training windows — the step that turns a curated
+    corpus into pretraining examples (zero padding waste except one
+    partial bin per bucket; documents crossing a boundary continue in the
+    next bin, exactly the GPT-2/3 data layout — Radford et al. 2019,
+    Brown et al. 2020, public).
+
+    The stream is bucketed FIRST (pmod of the cross-engine hash of the
+    id, ``n_buckets`` ways) and packed independently per bucket: the
+    running-offset window — the one inherently sequential step — runs on
+    per-bucket partitions instead of one global sort, so packing
+    parallelizes to ``n_buckets`` tasks and scales by raising n_buckets
+    with the corpus (each bucket is an independent token stream; training
+    shards map 1:1 to buckets). Order within a bucket is (hash, id) —
+    shuffle-stable, layout-independent, and growth-stable: inserting new
+    docs perturbs only the buckets they land in. Every quantity is an
+    exact integer (token counts via textops.tokens_col), so the layout is
+    bit-identical on any engine.
+
+    Returns (doc_id, bucket, bin_id, bin_offset, n_tokens): the document
+    starts in global bin (bucket, bin_id) at token offset bin_offset."""
+    h = textops.hash60(F.concat_ws(":", F.lit("pack"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+        h.alias("_h"),
+        F.size(textops.tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "bucket",
+        F.floor(start / seq_len).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(seq_len)).cast("int").alias("bin_offset"),
+        "n_tokens",
+    )

@@ -4952,6 +4952,79 @@ def vocab_oov_rate(spark, sf_dir):
     )
 
 
+_PACK_HASH_SQL = textops.hash60_sql("'pack:' || doc_id::VARCHAR")
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             (({_PACK_HASH_SQL}) % 8)::INT AS bucket,
+             ({_PACK_HASH_SQL}) AS h,
+             len({_SQL_TOKENS})::BIGINT AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM base)
+    SELECT doc_id, bucket, (strt // 256)::BIGINT AS bin_id,
+           (strt % 256)::INT AS bin_offset, n_tokens
+    FROM s
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing into 256-token training
+    bins, bucketed 8 ways so the running-offset window parallelizes (one
+    independent token stream per bucket — training shards map 1:1). Every
+    quantity is an exact integer, so the layout is bit-identical on any
+    engine and stable under corpus growth (a new doc perturbs only its own
+    bucket)."""
+    from spider_spark import curation
+
+    return curation.pack_sequences(
+        T(spark, sf_dir, "documents"), seq_len=256, n_buckets=8
+    )
+
+
+@q(
+    "dedup_incremental",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8),
+    -- old = doc_id < 400 (ids ascend), so in any qualifying a<b pair the
+    -- dying side is b: either a is old, or both are new and b is larger
+    dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs WHERE b_id >= 400)
+    SELECT d.doc_id, dr.doc_id IS NULL AS is_kept
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    WHERE d.doc_id >= 400
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dup admission: the last 100 docs arrive as a new
+    batch and are gated against the 400-doc existing corpus (exact 3-gram
+    Jaccard ≥ 0.8 against any old doc or a smaller-id batch-mate ⇒ drop).
+    The LSH candidate join generates only pairs touching the new batch —
+    the old×old quadrant, the 10^10-row bulk in production, never exists —
+    and the oracle is the full exact-Jaccard answer, so the band
+    configuration's completeness is value-checked end-to-end."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.incremental_dup_flags(
+        d.where(F.col("doc_id") < 400), d.where(F.col("doc_id") >= 400),
+        threshold=0.8, n=3,
+    )
+
+
 # =====================================================================
 # Driver-verification window rotation
 # =====================================================================

@@ -951,3 +951,74 @@ def test_weighted_sample_weights_bias_selection(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
     picked = sampling.weighted_sample(df, "lang", 1, "doc_id", "w").collect()
     assert len(picked) == 1 and picked[0]["doc_id"] == 0
+
+
+# ------------------------------------------------------------ sequence packing
+def test_pack_sequences_contiguous_stream(spark):
+    from spider_spark import curation
+
+    rows = [(i, " ".join(["tok"] * (10 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.pack_sequences(df, seq_len=64, n_buckets=1).collect()
+    assert len(out) == 20
+    # single bucket: offsets must form one contiguous token stream
+    spans = sorted((r["bin_id"] * 64 + r["bin_offset"], r["n_tokens"]) for r in out)
+    pos = 0
+    for start, n in spans:
+        assert start == pos
+        pos += n
+    assert all(0 <= r["bin_offset"] < 64 for r in out)
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_pack_sequences_bucket_independence_and_stability(spark):
+    from spider_spark import curation
+
+    rows = [(i, " ".join(["w"] * 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"]: (r["bucket"], r["bin_id"], r["bin_offset"])
+            for r in curation.pack_sequences(df, seq_len=32, n_buckets=4).collect()}
+    # layout independence: repartitioned input packs identically
+    repart = {r["doc_id"]: (r["bucket"], r["bin_id"], r["bin_offset"])
+              for r in curation.pack_sequences(df.repartition(11), 32, 4).collect()}
+    assert base == repart
+    # growth stability: adding docs only perturbs the buckets they land in
+    grown = curation.pack_sequences(
+        df.unionByName(spark.createDataFrame([(1000, "w w w")], "doc_id long, text string")),
+        32, 4,
+    )
+    new_bucket = {r["doc_id"]: r["bucket"] for r in grown.collect()}[1000]
+    stable = {r["doc_id"]: (r["bucket"], r["bin_id"], r["bin_offset"])
+              for r in grown.collect() if r["bucket"] != new_bucket}
+    assert stable == {k: v for k, v in base.items() if v[0] != new_bucket}
+
+
+# ------------------------------------------------------------ incremental dedup
+def test_incremental_dup_flags_semantics(spark):
+    old = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta"),  # dup of old → drop
+            (11, "one two three four five six seven"),        # fresh → keep
+            (12, "one two three four five six seven"),        # dup of 11 → drop
+            (13, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["is_kept"]
+           for r in dedup.incremental_dup_flags(old, new, threshold=0.8).collect()}
+    assert got == {10: False, 11: True, 12: False, 13: True}
+    # only NEW docs are flagged — the old corpus is never re-adjudicated
+    assert 0 not in got
+
+
+def test_incremental_dup_flags_fixture_drops_something(spark, docs):
+    out = dedup.incremental_dup_flags(
+        docs.where(F.col("doc_id") < 80), docs.where(F.col("doc_id") >= 80)
+    )
+    rows = out.collect()
+    kept = sum(r["is_kept"] for r in rows)
+    assert 0 < kept < len(rows)  # gate is active but not degenerate
