@@ -157,5 +157,74 @@ def main() -> None:
         )
 
 
+def tfidf_main() -> None:
+    """Boilerplate hot-shingle stress for the inverted-index similarity
+    join (PLANS.md "tfidf_sim_join" claim → numbers): every 5th doc
+    carries a shared 9-token boilerplate sentence, so its 7 three-gram
+    shingles each hit df = n_docs/5 and the uncapped term self-join pays
+    7·(n/5)²/2 partial rows from boilerplate alone; max_df drops those
+    shingles from the vector space and the join collapses to the
+    discriminative-shingle volume. Usage:
+
+        python bench_skew.py tfidf [n_docs]     # default 20_000
+    """
+    from spider_spark.dedup import tfidf_cosine_pairs
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    BOILER = " the quick brown fox jumps over the lazy dog"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            # 12 per-doc-unique tokens: u<i>a0 u<i>a1 ... (no cross-doc shingles)
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit("u"), F.col("id").cast("string"), F.lit(f"a{k}"))
+                  for k in range(12)],
+            ),
+            F.when(F.col("id") % 5 == 0, F.lit(BOILER)).otherwise(F.lit("")),
+        ).alias("text"),
+    ).persist()
+    docs.count()
+
+    out: dict[str, dict[str, float]] = {}
+    for label, cap in (("capped_64", 64), ("uncapped", None)):
+        t0 = time.time()
+        n_pairs = tfidf_cosine_pairs(docs, threshold=0.3, max_df=cap, n=3).count()
+        wall = time.time() - t0
+        # candidate volume = inverted-index join rows BEFORE the pair agg
+        from spider_spark import textops as _t
+        toks = docs.select("doc_id", _t.tokens_col(F.col("text")).alias("w"))
+        g = toks.select("doc_id", F.explode(_t.grams_all_col(F.col("w"), 3)).alias("term"))
+        dfx = g.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+        if cap is not None:
+            dfx = dfx.where(F.col("df") <= cap)
+        idx = g.join(dfx.select("term"), "term")
+        cand = (
+            idx.select(F.col("doc_id").alias("a_id"), "term")
+            .join(idx.select(F.col("doc_id").alias("b_id"), "term"), "term")
+            .where(F.col("a_id") < F.col("b_id"))
+            .count()
+        )
+        out[label] = {"wall_s": round(wall, 2), "pairs": n_pairs,
+                      "index_join_rows": cand}
+
+    print(json.dumps({
+        "metric": "tfidf_boilerplate_cap",
+        "n_docs": n_docs,
+        "boiler_df": n_docs // 5,
+        "results": out,
+    }))
+    print("\n| variant | index-join rows | output pairs | wall |")
+    print("|---|---|---|---|")
+    for label, r in out.items():
+        print(f"| {label} | {r['index_join_rows']:,} | {r['pairs']} | {r['wall_s']}s |")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "tfidf":
+        tfidf_main()
+    else:
+        main()
