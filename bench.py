@@ -102,6 +102,10 @@ HEADLINE = [
     "semdedup_flags",        # round 3: SemDeDup cluster-scoped semantic dedup
     "tfidf_sim_join",        # round 3: inverted-index TF-IDF similarity join
     "sample_weighted_length",  # round 3: A-ES weighted reservoir sampling
+    "vocab_oov_rate",        # round 3: tokenizer-vocabulary coverage
+    "pack_sequences",        # round 3: GPT concat-and-chunk packing
+    "dedup_incremental",     # round 3: batch-vs-corpus LSH admission
+    "stream_window_rates",   # round 3: streaming windows w/ value oracle
 ]
 
 

@@ -5025,6 +5025,74 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+@q(
+    "stream_window_rates",
+    """
+    WITH w AS (
+      -- exact integer microseconds: epoch(ts)::BIGINT would ROUND the
+      -- fractional second and misplace boundary-adjacent events
+      SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS ws,
+             event_type,
+             count(*)::BIGINT AS n_events,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events, sum_value
+    FROM w
+    """,
+)
+def stream_window_rates(spark, sf_dir):
+    """Structured Streaming, value-checked end-to-end: the events table is
+    REPLAYED through readStream (AvailableNow trigger), aggregated into
+    5-minute event-time tumbling windows per event_type under a 10-minute
+    watermark, sunk to memory in complete mode, and the materialized sink
+    is returned — so the driver's DuckDB gate checks the STREAMING engine's
+    output (trigger batching, state store, window assignment) against
+    batch SQL, not a batch re-statement of it. Money-style exact-decimal
+    sums keep the values order-independent across trigger batches; window
+    starts render as strings (house timestamp convention). At production
+    scale this is the per-host fetch-rate monitor (streaming.host_fetch_
+    rates) shape: state is bounded by windows-in-horizon × group keys,
+    and the watermark frees closed windows."""
+    import os
+    import shutil
+    import uuid
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    if not os.path.isdir(src):
+        # the file stream source ingests DIRECTORIES (files arrive over
+        # time); a single-file fixture is staged as a one-file ingest dir
+        ingest = tempfile.mkdtemp(suffix="_ingest")
+        shutil.copy(src, os.path.join(ingest, "part-0.parquet"))
+        src = ingest
+    name = f"swr_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp()
+    agg = (
+        spark.readStream.schema(schema).parquet(src)
+        # parquet stores TIMESTAMP_NTZ; event-time watermarks require an
+        # instant. The container session tz is UTC, so the cast is a pure
+        # type change (oracle reads the same NTZ values as UTC instants).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    sq = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
 # =====================================================================
 # Driver-verification window rotation
 # =====================================================================

@@ -269,3 +269,30 @@ def test_stream_content_seen_distinguishes_invalid_utf8_bytes(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) n from csb").collect()[0]["n"] == 2
+
+
+def test_stream_window_rates_matches_batch(spark):
+    """The registered streaming query (AvailableNow → memory sink) must
+    equal the batch computation of the same windows — the streaming
+    engine's state/trigger path is the thing under test."""
+    from spider_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in QUERIES["stream_window_rates"](spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        tuple(r)
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+        .collect()
+    }
+    assert got == batch and len(got) > 0
