@@ -106,6 +106,7 @@ HEADLINE = [
     "pack_sequences",        # round 3: GPT concat-and-chunk packing
     "dedup_incremental",     # round 3: batch-vs-corpus LSH admission
     "stream_window_rates",   # round 3: streaming windows w/ value oracle
+    "decontaminate_bloom_gate",  # round 3: Bloom-gated decontamination
 ]
 
 

@@ -1188,3 +1188,77 @@ def incremental_dup_flags(
     )
     sh.unpersist()
     return out
+
+
+# ------------------------------------------------- Bloom-gated decontamination
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    bits_per_gram: int = 16,
+    n_hashes: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """decontaminate() with a Bloom prefilter — the shape that survives
+    when the benchmark side outgrows a broadcast hash set. The benchmark's
+    distinct n-gram hash60s become ONE Bloom filter (bits_per_gram·|B|
+    bits; at 16 bits/key + 7 hashes FP ≈ 4·10^-4), broadcast as bytes —
+    16× smaller than the exact set a broadcast join ships, and probed
+    map-side by an Arrow-batched kernel over each corpus doc's gram-hash
+    array. Docs with NO maybe-hit pass immediately (the overwhelming
+    majority of a clean corpus never leaves the scan stage); maybe-hit
+    docs — true contaminations plus the FP trickle — go to the EXACT
+    broadcast-join verify, so the result equals decontaminate() exactly:
+    the same Bloom-prefilter + exact-resolve contract as the crawl
+    engine's URL-seen set (seen.SeenSet.split → anti-join). Returns the
+    kept corpus rows.
+
+    Shuffle ledger: zero for the gate (scan-fused Arrow probe); the exact
+    verify shuffles only maybe-docs' shingles. Driver holds |B| hashes
+    once to build the filter — the broadcast-variable pattern, same as
+    any decontamination's benchmark side."""
+    from spider_spark.seen import _set_bits, _test_bits
+
+    bench_hashes = (
+        shingle_table(benchmark, n, id_col, text_col)
+        .select(textops.hash60(F.col("shingle")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    bh = np.array([r["h"] for r in bench_hashes], dtype=np.int64)
+    m = max(64, int(len(bh) * bits_per_gram))
+    arr = np.zeros((m + 7) // 8, dtype=np.uint8)
+    _set_bits(arr, bh, n_hashes, m)
+    sc = corpus.sparkSession.sparkContext
+    b_arr = sc.broadcast(arr.tobytes())
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def maybe_contaminated(hs: pd.Series) -> pd.Series:
+        filt = np.frombuffer(b_arr.value, dtype=np.uint8)
+        out = []
+        for arr_h in hs:
+            if arr_h is None or len(arr_h) == 0:
+                out.append(False)
+            else:
+                out.append(bool(
+                    _test_bits(filt, np.asarray(arr_h, dtype=np.int64), n_hashes, m).any()
+                ))
+        return pd.Series(out)
+
+    toks = corpus.withColumn("_toks", textops.tokens_col(F.col(text_col)))
+    grams = toks.withColumn(
+        "_gh",
+        F.transform(
+            textops.grams_col(F.col("_toks"), n),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ),
+    )
+    marked = grams.withColumn("_maybe", maybe_contaminated(F.col("_gh"))).persist()
+    clean = marked.where(~F.col("_maybe")).drop("_toks", "_gh", "_maybe")
+    suspects = marked.where(F.col("_maybe")).drop("_toks", "_gh", "_maybe")
+    verified = decontaminate(suspects, benchmark, n, min_overlap, id_col, text_col)
+    return clean.unionByName(verified)

@@ -5093,6 +5093,35 @@ def stream_window_rates(spark, sf_dir):
     )
 
 
+@q(
+    "decontaminate_bloom_gate",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_sql_shingles(5)}) AS shingle FROM tok),
+    bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 7 = 0),
+    bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING(shingle)
+            WHERE g.doc_id % 7 != 0)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN bad ON bad.doc_id = d.doc_id
+    WHERE d.doc_id % 7 != 0 AND bad.doc_id IS NULL
+    """,
+)
+def decontaminate_bloom_gate(spark, sf_dir):
+    """Bloom-gated decontamination — decontaminate() at the scale where the
+    benchmark outgrows a broadcast set: benchmark 5-gram hashes become one
+    broadcast Bloom filter probed map-side (Arrow kernel, zero shuffle for
+    the gate); only maybe-hit docs reach the exact verify, so the output
+    EQUALS exact decontamination — the same Bloom-prefilter + exact-resolve
+    contract as the crawl URL-seen set (seen.SeenSet.split → anti-join),
+    value-checked here against the exact SQL answer. Same eval-split
+    fixture as decontaminate_overlap (doc_id % 7 == 0 plays the benchmark)."""
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.decontaminate_bloom(
+        d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0), n=5
+    )
+    return kept.select("doc_id")
+
+
 # =====================================================================
 # Driver-verification window rotation
 # =====================================================================

@@ -1022,3 +1022,25 @@ def test_incremental_dup_flags_fixture_drops_something(spark, docs):
     rows = out.collect()
     kept = sum(r["is_kept"] for r in rows)
     assert 0 < kept < len(rows)  # gate is active but not degenerate
+
+
+# ------------------------------------------------- Bloom-gated decontamination
+def test_decontaminate_bloom_equals_exact(spark, docs):
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    exact = {r["doc_id"] for r in dedup.decontaminate(corpus, bench, n=5).collect()}
+    gated = {r["doc_id"] for r in dedup.decontaminate_bloom(corpus, bench, n=5).collect()}
+    assert gated == exact
+    assert 0 < len(gated) < corpus.count()  # gate active, not degenerate
+
+
+def test_decontaminate_bloom_tiny_filter_still_exact(spark, docs):
+    """1 bit/gram saturates the filter (near-100% FP) — everything goes to
+    the exact verify and the answer must STILL be exact: the Bloom layer
+    can only cost time, never correctness."""
+    corpus = docs.where(F.col("doc_id") % 7 != 0).limit(60)
+    bench = docs.where(F.col("doc_id") % 7 == 0).limit(20)
+    exact = {r["doc_id"] for r in dedup.decontaminate(corpus, bench, n=5).collect()}
+    gated = {r["doc_id"] for r in dedup.decontaminate_bloom(
+        corpus, bench, n=5, bits_per_gram=1, n_hashes=1).collect()}
+    assert gated == exact
