@@ -5159,8 +5159,11 @@ _VERIFY_FIRST: list[str] = [
     # and pinned by pytest + the crawl-parity fixtures, while the new
     # operators have no driver record yet. crawl semantics stay inside the
     # window via crawl_docs_rep (same engine path, full oracle).
-    # media_frame_sample is the one registered query left for the r04
-    # window (sf0.01 oracle green locally; window is exactly 50).
+    # Queued for the r04 window (registered + sf0.01-oracle-green locally,
+    # window is exactly 50): media_frame_sample, host_kcore,
+    # cms_heavy_hitters, semdedup_flags, tfidf_sim_join,
+    # sample_weighted_length, vocab_oov_rate, pack_sequences,
+    # dedup_incremental, stream_window_rates, decontaminate_bloom_gate.
 ]
 
 
