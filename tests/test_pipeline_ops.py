@@ -1044,3 +1044,29 @@ def test_decontaminate_bloom_tiny_filter_still_exact(spark, docs):
     gated = {r["doc_id"] for r in dedup.decontaminate_bloom(
         corpus, bench, n=5, bits_per_gram=1, n_hashes=1).collect()}
     assert gated == exact
+
+
+def test_pack_sequences_edge_shapes(spark):
+    """Adversarial shapes: empty docs (0 tokens — occupy no span), a doc
+    longer than seq_len (spans multiple bins), single-token docs. The
+    contiguity invariant must hold with zero-width spans interleaved."""
+    from spider_spark import curation
+
+    rows = [
+        (0, ""),                        # 0 tokens
+        (1, "a"),                       # 1 token
+        (2, " ".join(["w"] * 100)),     # spans > seq_len=32 bins
+        (3, "   "),                     # whitespace only → 0 tokens
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.pack_sequences(df, seq_len=32, n_buckets=1).collect()
+    assert len(out) == 5
+    spans = sorted((r["bin_id"] * 32 + r["bin_offset"], r["n_tokens"]) for r in out)
+    pos = 0
+    for start, n in spans:
+        assert start == pos
+        pos += n
+    assert pos == 104  # total tokens conserved
+    big = next(r for r in out if r["doc_id"] == 2)
+    assert big["n_tokens"] == 100  # crosses ≥3 bin boundaries from its start
