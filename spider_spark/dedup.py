@@ -477,6 +477,49 @@ def _band_keys_udf(n_hashes: int, n_bands: int):
     return band_keys
 
 
+def band_buckets(docs: DataFrame, n: int = 3, n_hashes: int = 128,
+                 n_bands: int = 32, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 max_df: int | None = None,
+                 shingles: DataFrame | None = None) -> DataFrame:
+    """MinHash band buckets as a TABLE: (doc_id, band_key), n_bands rows
+    per doc — the storable half of the LSH pipeline. A production corpus
+    maintains this as a persistent table (append each admitted batch's
+    buckets; ~n_bands·8 B per doc), so recurring admissions (see
+    incremental_dup_flags) pay signature cost only for the NEW batch.
+    Backend selection (codegen'd wide agg ≤96 hashes, Arrow splitmix64
+    kernel above) documented on lsh_candidates, which composes this with
+    the bucket self-join."""
+    rows_per_band = n_hashes // n_bands
+    if shingles is not None:
+        # prebuilt shingle_rows table (df-capped, explode_outer sentinels)
+        ex = shingles
+    else:
+        ex = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col,
+                          max_df=max_df, keep_empty=True)
+    # one string hash per shingle; permutations rehash the 8-byte long
+    exh = ex.select("doc_id", F.xxhash64(F.col("shingle")).alias("h"))
+    if n_hashes <= 96:
+        sig = exh.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"s{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        band_keys = [
+            F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
+            for b in range(n_bands)
+        ]
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+        )
+    harr = exh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    return harr.select(
+        "doc_id",
+        F.explode(_band_keys_udf(n_hashes, n_bands)(F.col("hs"))).alias("band_key"),
+    )
+
+
 def lsh_candidates(docs: DataFrame, n: int = 3, n_hashes: int = 128,
                    n_bands: int = 32, id_col: str = "doc_id",
                    text_col: str = "text",
@@ -506,35 +549,9 @@ def lsh_candidates(docs: DataFrame, n: int = 3, n_hashes: int = 128,
     any corpus size. Band-key VALUES differ between backends (different
     hash families); both are uniform mixes and every caller verifies
     candidates exactly, so results are backend-independent."""
-    rows_per_band = n_hashes // n_bands
-    if shingles is not None:
-        # prebuilt shingle_rows table (df-capped, explode_outer sentinels)
-        ex = shingles
-    else:
-        ex = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col,
-                          max_df=max_df, keep_empty=True)
-    # one string hash per shingle; permutations rehash the 8-byte long
-    exh = ex.select("doc_id", F.xxhash64(F.col("shingle")).alias("h"))
-    if n_hashes <= 96:
-        sig = exh.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"s{i}")
-                for i in range(n_hashes)
-            ]
-        )
-        band_keys = [
-            F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
-            for b in range(n_bands)
-        ]
-        buckets = sig.select(
-            "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
-        ).persist()
-    else:
-        harr = exh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-        buckets = harr.select(
-            "doc_id",
-            F.explode(_band_keys_udf(n_hashes, n_bands)(F.col("hs"))).alias("band_key"),
-        ).persist()
+    buckets = band_buckets(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
+                           id_col=id_col, text_col=text_col, max_df=max_df,
+                           shingles=shingles).persist()
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "band_key")
@@ -1125,6 +1142,7 @@ def incremental_dup_flags(
     n_bands: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    old_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup gate: admit a NEW batch against an EXISTING
     corpus — the mode a production pipeline actually runs at 100 TB (a
@@ -1135,37 +1153,52 @@ def incremental_dup_flags(
     discipline as the reference's URL-seen gate,
     分布式京东商品详情页/mongo_redis_mgr.py:43-47, lifted to near-dup space).
 
-    Physical shape: MinHash band buckets over old ∪ new (one shared
-    shingle pass), but the candidate join keeps ONLY pairs touching the
-    new batch — the old×old quadrant, the overwhelming bulk at 10^10×10^4,
-    is never generated (an inner join of old buckets against NEW-side
-    buckets, not a self-join). Exact verify then runs on those candidates
-    alone. In production the old side's band buckets are a stored table
-    maintained across batches (append new buckets after each admit), so
-    the recurring cost is O(new batch), not O(corpus); here they are
-    recomputed because the fixture is one-shot. Band math as
-    minhash_lsh_pairs: at j = threshold = 0.8, 32×4 bands miss a true
-    pair with p = (1-0.8^4)^32 ≈ 4.7e-8 — and real dup families sit at
-    j ≈ 1 where the miss probability is 0 — so the verified output equals
-    the exact answer. Ids must be unique across old ∪ new. Returns
-    (doc_id, is_kept) for every NEW doc."""
+    Physical shape: the candidate join is (old ∪ new buckets) ⋈ NEW-side
+    buckets on band_key — not a self-join — so the old×old quadrant, the
+    overwhelming bulk at 10^10×10^4, is STRUCTURALLY absent rather than
+    filtered out. Exact verify then shingles only candidate docs (the
+    semi-join lands BEFORE the explode). ``old_buckets`` is the stored-
+    signature production mode: pass the band_buckets() table maintained
+    across batches (append each admitted batch's buckets after the run)
+    and the old corpus is never scanned at all — recurring cost is
+    O(new batch + candidates). Omitted, the old buckets are computed from
+    old_docs (the one-shot fixture mode). Band math as minhash_lsh_pairs:
+    at j = threshold = 0.8, 32×4 bands miss a true pair with
+    p = (1-0.8^4)^32 ≈ 4.7e-8 — and real dup families sit at j ≈ 1 where
+    the miss probability is 0 — so the verified output equals the exact
+    answer. Ids must be unique across old ∪ new. Returns (doc_id,
+    is_kept) for every NEW doc."""
     old = old_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     new = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     both = old.withColumn("_new", F.lit(False)).unionByName(
         new.withColumn("_new", F.lit(True))
     )
-    sh = shingle_rows(both, n=n, keep_empty=True).persist()
-    cand_all = lsh_candidates(both, n=n, n_hashes=n_hashes, n_bands=n_bands,
-                              shingles=sh)
-    sides = both.select("doc_id", "_new")
+    if old_buckets is None:
+        old_buckets = band_buckets(old, n=n, n_hashes=n_hashes, n_bands=n_bands)
+    new_buckets = band_buckets(new, n=n, n_hashes=n_hashes, n_bands=n_bands).persist()
+    all_buckets = old_buckets.unionByName(new_buckets)
     cand = (
-        cand_all
-        .join(sides.select(F.col("doc_id").alias("a_id"), F.col("_new").alias("_a_new")), "a_id")
-        .join(sides.select(F.col("doc_id").alias("b_id"), F.col("_new").alias("_b_new")), "b_id")
-        .where(F.col("_a_new") | F.col("_b_new"))  # drop the old×old quadrant
-        .select("a_id", "b_id")
+        all_buckets.alias("x")
+        .join(new_buckets.alias("y"), "band_key")
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a_id"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b_id"),
+        )
+        .distinct()
+        .persist()
     )
-    pairs = jaccard_pairs(both, threshold, n, shingles=sh, restrict_pairs=cand)
+    cand.count()  # materialize: referenced by the verify plan repeatedly
+    new_buckets.unpersist()
+    sides = both.select("doc_id", "_new")
+    cand_docs = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    # pre-explode restriction: only candidate docs are ever shingled here
+    verify_docs = both.join(cand_docs, "doc_id", "left_semi")
+    pairs = jaccard_pairs(verify_docs, threshold, n, restrict_pairs=cand)
     # a new doc is dropped by an old partner on EITHER side of the a<b pair,
     # or by a smaller-id new partner (a_id < b_id always holds)
     dropped = (
@@ -1186,7 +1219,6 @@ def incremental_dup_flags(
         .join(dropped, "doc_id", "left")
         .select("doc_id", F.col("_dup").isNull().alias("is_kept"))
     )
-    sh.unpersist()
     return out
 
 

@@ -1070,3 +1070,27 @@ def test_pack_sequences_edge_shapes(spark):
     assert pos == 104  # total tokens conserved
     big = next(r for r in out if r["doc_id"] == 2)
     assert big["n_tokens"] == 100  # crosses ≥3 bin boundaries from its start
+
+
+def test_incremental_stored_buckets_equal_oneshot(spark, docs):
+    """Production mode: precomputed band_buckets for the old corpus must
+    admit the batch identically to the one-shot path, and a second batch
+    admitted against old ∪ batch-1 buckets (the append-after-admit
+    contract) must equal recomputing from the docs."""
+    old = docs.where(F.col("doc_id") < 60)
+    b1 = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    b2 = docs.where(F.col("doc_id") >= 90)
+
+    stored = dedup.band_buckets(old).persist()
+    oneshot = {tuple(r) for r in dedup.incremental_dup_flags(old, b1).collect()}
+    with_stored = {tuple(r) for r in
+                   dedup.incremental_dup_flags(old, b1, old_buckets=stored).collect()}
+    assert oneshot == with_stored
+
+    # append batch-1 buckets, admit batch-2 against the grown store
+    grown = stored.unionByName(dedup.band_buckets(b1)).persist()
+    via_store = {tuple(r) for r in dedup.incremental_dup_flags(
+        old.unionByName(b1), b2, old_buckets=grown).collect()}
+    recomputed = {tuple(r) for r in
+                  dedup.incremental_dup_flags(old.unionByName(b1), b2).collect()}
+    assert via_store == recomputed
