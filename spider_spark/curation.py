@@ -353,3 +353,60 @@ def pack_sequences(
         F.pmod(start, F.lit(seq_len)).cast("int").alias("bin_offset"),
         "n_tokens",
     )
+
+
+# Literal "trained" weights for the model-based quality filter below. At
+# production scale these come out of a fastText / logistic-regression fit on
+# labeled (kept, rejected) documents (CCNet Wenzek et al. 2020, DCLM Li et
+# al. 2024 — public recipes); the ENGINE contract is only that scoring is a
+# broadcast-weights map pass, so the weights ship as a plain dict and the
+# fitted model swaps in without a plan change.
+QUALITY_LR_WEIGHTS: dict[str, float] = {
+    "bias": 1.0,
+    "stopword_ratio": 9.0,      # English-like prose has stopwords
+    "punct_ratio": -7.0,        # symbol soup / boilerplate penalty
+    "chars_per_token": -0.22,   # very long "words" = code/base64/URLs
+    "inv_tokens": -48.0,        # 1/(1+n_tokens): short-doc penalty
+}
+
+
+def quality_lr_score(docs: DataFrame, weights: dict[str, float] | None = None,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering (the classifier stage of CCNet/DCLM
+    pipelines): a linear model over deterministic text features, scored in
+    one whole-stage-codegen map pass — no shuffle, no UDF, no model server.
+
+    Scale shape: the model is a handful of LITERAL coefficients folded into
+    the projection (at 100 TB the scan is the whole cost; scoring rides it
+    for free and the keep-filter pushes into the same stage). A real
+    fastText model (300k n-gram rows) would instead broadcast-join its
+    embedding table — same engine surface, one broadcast.
+
+    Determinism: every feature is a ratio of exact integers
+    (textops.quality_cols counts), and IEEE +,-,*,/ are exactly rounded, so
+    with a fixed evaluation order the logit is BIT-identical on any engine
+    — no transcendentals (the sigmoid is monotone, so thresholding the
+    logit IS thresholding the probability; emit the logit).
+
+    Returns (doc_id, quality_logit, keep)."""
+    w = weights or QUALITY_LR_WEIGHTS
+    feats = textops.quality_cols(F.col(text_col))
+    n_tokens = feats["n_tokens"].cast("double")
+    n_chars = feats["n_chars"].cast("double")
+    punct_ratio = F.when(
+        feats["n_chars"] > 0, feats["n_punct"].cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    chars_per_token = F.when(feats["n_tokens"] > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    inv_tokens = F.lit(1.0) / (F.lit(1.0) + n_tokens)
+    logit = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["stopword_ratio"])) * feats["stopword_ratio"]
+        + F.lit(float(w["punct_ratio"])) * punct_ratio
+        + F.lit(float(w["chars_per_token"])) * chars_per_token
+        + F.lit(float(w["inv_tokens"])) * inv_tokens
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(logit, 9).alias("quality_logit"),
+        (logit >= 0.0).alias("keep"),
+    )

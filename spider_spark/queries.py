@@ -5122,6 +5122,78 @@ def decontaminate_bloom_gate(spark, sf_dir):
     return kept.select("doc_id")
 
 
+@q(
+    "quality_model_scores",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+    f AS (SELECT doc_id,
+            len(toks)::BIGINT AS n_tokens,
+            length(text)::BIGINT AS n_chars,
+            len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::BIGINT AS n_stop,
+            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct
+          FROM t)
+    SELECT doc_id,
+           round(
+             1.0
+             + 9.0 * (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END)
+             + -7.0 * (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars::DOUBLE ELSE 0.0 END)
+             + -0.22 * (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END)
+             + -48.0 * (1.0 / (1.0 + n_tokens::DOUBLE)),
+           9) AS quality_logit,
+           (  1.0
+             + 9.0 * (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END)
+             + -7.0 * (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars::DOUBLE ELSE 0.0 END)
+             + -0.22 * (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END)
+             + -48.0 * (1.0 / (1.0 + n_tokens::DOUBLE))
+           ) >= 0.0 AS keep
+    FROM f
+    """,
+)
+def quality_model_scores(spark, sf_dir):
+    """Model-based quality filtering (curation.quality_lr_score): linear
+    classifier over exact-integer-derived features, folded into the scan
+    as one codegen map pass. The oracle recomputes the logit with the
+    IDENTICAL evaluation order — all features are ratios of exact ints and
+    IEEE arithmetic is exactly rounded, so the doubles match bit-for-bit
+    (the registry's no-transcendentals discipline)."""
+    from spider_spark import curation
+
+    return curation.quality_lr_score(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "corpus_export_manifest",
+    f"""
+    WITH s AS (SELECT doc_id, text,
+                      ({textops.hash60_sql("'shard:' || doc_id::VARCHAR")}) % 8 AS shard
+               FROM documents)
+    SELECT shard::INT AS shard,
+           count(*) AS n_docs,
+           sum(len({_SQL_TOKENS})::BIGINT) AS n_tokens,
+           sum(strlen(text)::BIGINT) AS n_bytes,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM s GROUP BY shard
+    """,
+)
+def corpus_export_manifest(spark, sf_dir):
+    """Deterministic sharded corpus export (tables.export_shards): the
+    write actually happens — one repartition(shard) shuffle routes every
+    document to its writer task, hash order fixes within-shard layout —
+    and the returned manifest is computed from the files READ BACK, so
+    green here certifies the sink roundtrip, not just the plan. The
+    oracle recomputes shard assignment + stats from the raw table (hash60
+    is 60-bit positive, so DuckDB's % equals Spark's pmod)."""
+    import shutil
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="export_shards_")
+    try:
+        return tbl.export_shards(d, out, n_shards=8).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # =====================================================================
 # Driver-verification window rotation
 # =====================================================================
@@ -5163,7 +5235,8 @@ _VERIFY_FIRST: list[str] = [
     # window is exactly 50): media_frame_sample, host_kcore,
     # cms_heavy_hitters, semdedup_flags, tfidf_sim_join,
     # sample_weighted_length, vocab_oov_rate, pack_sequences,
-    # dedup_incremental, stream_window_rates, decontaminate_bloom_gate.
+    # dedup_incremental, stream_window_rates, decontaminate_bloom_gate,
+    # quality_model_scores, corpus_export_manifest.
 ]
 
 

@@ -336,3 +336,66 @@ def read_appended(spark: SparkSession, workdir: str | Path, name: str,
     if not paths:
         return None
     return spark.read.parquet(*paths)
+
+
+def shard_assign(df: DataFrame, n_shards: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard assignment for corpus export: shard =
+    pmod(hash60("shard:" || id), n_shards). Layout- and growth-stable
+    (a document's shard never depends on what else is in the corpus or on
+    cluster size — unlike spark_partition_id) and cross-engine exact via
+    the shared md5-prefix hash."""
+    from spider_spark.textops import hash60
+
+    h = hash60(F.concat_ws(":", F.lit("shard"), F.col(id_col).cast("string")))
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int")).withColumn("_shard_h", h)
+
+
+def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-shard export manifest (the auditable half of export_shards):
+    (shard, n_docs, n_tokens, n_bytes, min_id, max_id). One partial-agg
+    shuffle on the shard key — n_shards is chosen (10^3-10^5), so the agg
+    state is tiny and perfectly balanced by construction (hash shards are
+    uniform; no host/domain skew can reach this key)."""
+    from spider_spark.textops import tokens_col
+
+    return (
+        shard_assign(df, n_shards, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col(text_col))).cast("long")).alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col)).cast("long")).alias("n_bytes"),
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+        )
+    )
+
+
+def export_shards(df: DataFrame, path: str | Path, n_shards: int,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Write the final training corpus as n_shards deterministic parquet
+    shards plus a manifest: the last step of the curation pipeline
+    (curate → pack/export), and the handoff contract to a trainer's data
+    loader (shard files are stable across re-runs and cluster sizes).
+
+    Plan: ONE shuffle — repartition(n_shards, shard) routes each document
+    to exactly one writer task, sortWithinPartitions(_shard_h, id) fixes
+    the within-shard order (hash order: shuffle-stable, insertion-stable),
+    partitionBy(shard) gives one directory per shard. At 100 TB this is
+    the canonical write shape: no global sort, no driver involvement,
+    writer parallelism = n_shards. Returns the manifest DataFrame (computed
+    from the WRITTEN files, so the manifest audits the sink, not the plan)."""
+    out = str(path)
+    sharded = shard_assign(df, n_shards, id_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("_shard_h", id_col)
+        .drop("_shard_h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(out).drop("shard")
+    return shard_manifest(written, n_shards, id_col, text_col)

@@ -1094,3 +1094,68 @@ def test_incremental_stored_buckets_equal_oneshot(spark, docs):
     recomputed = {tuple(r) for r in
                   dedup.incremental_dup_flags(old.unionByName(b1), b2).collect()}
     assert via_store == recomputed
+
+
+def test_quality_lr_score_orders_prose_above_junk(spark):
+    from spider_spark import curation
+
+    rows = [
+        (1, "the cat sat on a mat and looked to the door of the house while the sun set"),
+        (2, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, "ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.quality_lr_score(df).collect()}
+    assert out[1]["quality_logit"] > out[2]["quality_logit"]
+    assert out[1]["quality_logit"] > out[3]["quality_logit"]
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+    # keep is the sign of the logit — the two columns must agree
+    for r in out.values():
+        assert r["keep"] == (r["quality_logit"] >= 0.0)
+
+
+def test_quality_lr_score_empty_text_defined(spark):
+    from spider_spark import curation
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = curation.quality_lr_score(df).collect()[0]
+    # all guarded ratios fall back to 0.0; only bias + inv_tokens remain
+    assert row["quality_logit"] == 1.0 + -48.0 * 1.0
+    assert not row["keep"]
+
+
+def test_export_shards_roundtrip_and_manifest(spark, tmp_path):
+    from spider_spark import tables as tbl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body with some tokens {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    manifest = tbl.export_shards(df, str(tmp_path / "corpus"), n_shards=8).collect()
+    assert sorted(m["shard"] for m in manifest) == list(range(8))
+    assert sum(m["n_docs"] for m in manifest) == 200
+    # manifest audits the written files: totals must match the source corpus
+    import pyspark.sql.functions as F
+    from spider_spark.textops import tokens_col
+
+    src_tokens = df.select(F.sum(F.size(tokens_col(F.col("text"))))).collect()[0][0]
+    assert sum(m["n_tokens"] for m in manifest) == src_tokens
+    # one directory per shard on disk (partitionBy layout)
+    dirs = sorted(p.name for p in (tmp_path / "corpus").iterdir() if p.name.startswith("shard="))
+    assert len(dirs) == 8
+
+
+def test_export_shards_assignment_stable_under_growth(spark, tmp_path):
+    """A document's shard must not change when the corpus grows (trainer
+    data-loader contract): assignment depends only on the id hash."""
+    from spider_spark import tables as tbl
+
+    small = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(50)], "doc_id long, text string"
+    )
+    big = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["shard"] for r in tbl.shard_assign(small, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in tbl.shard_assign(big, 8).collect()}
+    assert all(b[k] == v for k, v in a.items())
