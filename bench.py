@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_incremental",     # round 3: batch-vs-corpus LSH admission
     "stream_window_rates",   # round 3: streaming windows w/ value oracle
     "decontaminate_bloom_gate",  # round 3: Bloom-gated decontamination
+    "quality_model_scores",  # round 3: model-based quality classifier
+    "corpus_export_manifest",  # round 3: sharded export (real write+readback)
 ]
 
 
