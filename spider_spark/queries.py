@@ -5195,6 +5195,322 @@ def corpus_export_manifest(spark, sf_dir):
 
 
 # =====================================================================
+# Distributed BPE tokenizer training — spider_spark.tokenize
+# =====================================================================
+
+@q(
+    "bpe_learn_merges",
+    """
+    WITH wc AS (
+      SELECT chr(97 + (doc_id % 8) * 2) || chr(98 + (doc_id % 8) * 2) AS w,
+             (8 - doc_id % 8)::BIGINT AS reps
+      FROM documents),
+    counts AS (
+      SELECT substr(w, 1, 1) AS lhs, substr(w, 2, 1) AS rhs,
+             sum(reps)::BIGINT AS "count"
+      FROM wc GROUP BY w)
+    SELECT row_number() OVER (ORDER BY "count" DESC, lhs, rhs)::INT AS rank,
+           lhs, rhs, "count"
+    FROM counts
+    """,
+)
+def bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE merge learning (tokenize.bpe_train_from_words,
+    Sennrich ACL'16): 8 planted two-character words with frequency-
+    hierarchy counts — each word dies into one symbol when merged, so the
+    learned merge ORDER must equal the global (count DESC, lhs, rhs) sort
+    the oracle computes in closed form. This pins the whole iterative
+    loop value-level: weighted pair counting over duplicate word rows,
+    the deterministic argmax tiebreak, and merge application per round.
+    Overlap/multi-symbol merge semantics are pinned separately by
+    pytest parity against a pure-Python reference trainer
+    (tests/test_tokenize.py). Scale: ONE corpus shuffle total (word
+    count); iterations run on the Zipf-small word table."""
+    from spider_spark import tokenize as tok
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    words = d.select(
+        F.concat(
+            F.char(F.lit(97) + (did % 8) * 2), F.char(F.lit(98) + (did % 8) * 2)
+        ).alias("word"),
+        (F.lit(8) - did % 8).cast("long").alias("count"),
+    )
+    return tok.bpe_train_from_words(words, n_merges=8)
+
+
+# =====================================================================
+# PQ / ADC approximate nearest neighbor — spider_spark.vectorops
+# =====================================================================
+
+def _pq_plant_codebooks() -> list[list[list[float]]]:
+    """Deterministic planted codebooks: cb[j][c][d] = ((j·8+c)·4+d) % 11 − 5.
+    Mod 11 keeps all 8 entries of a subspace distinct (4·Δc ≡ 0 mod 11 has
+    no solution for 0 < Δc < 8), so L2-argmin encoding is unambiguous."""
+    return [
+        [[float(((j * 8 + c) * 4 + d) % 11 - 5) for d in range(4)] for c in range(8)]
+        for j in range(4)
+    ]
+
+
+@q(
+    "ann_pq_adc_topk",
+    """
+    WITH ids AS (SELECT vec_id AS i FROM embeddings),
+    qs AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 97 = 0),
+    dims AS (SELECT j, d FROM generate_series(0, 3) t1(j)
+             CROSS JOIN generate_series(0, 3) t2(d)),
+    scores AS (
+      SELECT q, i,
+             sum( (((q * 3 + (j * 4 + d)) % 9) - 4)::DOUBLE
+                * ((((j * 8 + ((i + j) % 8)) * 4 + d) % 11) - 5)::DOUBLE ) AS score
+      FROM ids CROSS JOIN qs CROSS JOIN dims
+      GROUP BY q, i),
+    ranked AS (
+      SELECT q AS query_id, i AS neighbor_id,
+             row_number() OVER (PARTITION BY q ORDER BY score DESC, i) AS rank,
+             score
+      FROM scores)
+    SELECT query_id, neighbor_id, rank::INT AS rank, score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (vectorops.pq_encode/pq_topk_encoded —
+    Jégou et al. TPAMI'11): the corpus is compressed to m=4 codes/vector
+    and top-k runs on ADC lookup sums, never rereading raw floats — the
+    32-64× scan-size cut that makes vector search viable at 100 TB (and
+    composes with IVF list-probing). The fixture plants zero-quantization-
+    error vectors (exact codebook concatenations), so the REAL encoder
+    (L2 argmin, codegen) must recover every planted code and the ADC
+    ranking is exactly the true inner-product ranking the oracle computes
+    from the closed-form plants. Trained-codebook recall is contract-
+    tested in pytest (pq_recall_at_k ≥ floor); this query certifies the
+    distributed encode+score path value-level."""
+    cbs = _pq_plant_codebooks()
+    e = T(spark, sf_dir, "embeddings").select("vec_id")
+    vid = F.col("vec_id")
+    corpus_vec = F.concat(
+        *[
+            F.element_at(
+                F.array(*[
+                    F.array(*[F.lit(x) for x in cbs[j][c]]).cast("array<double>")
+                    for c in range(8)
+                ]),
+                ((vid + j) % 8 + 1).cast("int"),
+            )
+            for j in range(4)
+        ]
+    )
+    corpus = e.select(vid, corpus_vec.alias("embedding"))
+    codes = vectorops.pq_encode(corpus, cbs)
+    qvec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda d: ((vid * 3 + d) % 9 - 4).cast("double"),
+    )
+    queries_df = e.where(vid % 97 == 0).select(vid, qvec.alias("embedding"))
+    return vectorops.pq_topk_encoded(codes, queries_df, cbs, k=5)
+
+
+# =====================================================================
+# RSS/Atom feed seed discovery — spider_spark.sitemap
+# =====================================================================
+
+@q(
+    "feed_seeds",
+    """
+    SELECT 'https://h' || (doc_id % 10)::VARCHAR || '.example.com/d/' || doc_id::VARCHAR AS url,
+           0 AS depth,
+           'Doc ' || doc_id::VARCHAR AS title,
+           CASE WHEN doc_id % 10 < 5
+                THEN '2024-03-0' || (1 + doc_id % 5)::VARCHAR
+                ELSE '2024-03-0' || (1 + doc_id % 5)::VARCHAR || 'T00:00:00Z'
+           END AS published
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def feed_seeds(spark, sf_dir):
+    """RSS 2.0 + Atom feed discovery (sitemap.seeds_from_feeds): hosts
+    h0-h4 publish RSS (<item><link>text</link><pubDate>), h5-h9 publish
+    Atom (<entry><link href=.../><updated>) — the two public feed dialects
+    including the html.parser void-<link> hazard (RSS link text parses as
+    a SIBLING of the empty link node; the extractor handles it). Feeds
+    are synthesized per host from the documents table, pushed through the
+    REAL Arrow-batched DOM parse, and the oracle states the planted truth
+    directly — green means the parser recovered every link/title/date
+    from raw XML. Plan: one host groupBy to build feeds, then the
+    explode; at 10^10 scale feeds are per-host rows, so the parse is
+    embarrassingly parallel with no further shuffle."""
+    from spider_spark.sitemap import seeds_from_feeds
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    did = F.col("doc_id")
+    h = (did % 10).cast("string")
+    url = F.concat(F.lit("https://h"), h, F.lit(".example.com/d/"), did.cast("string"))
+    day = (F.lit(1) + did % 5).cast("string")
+    is_rss = (did % 10) < 5
+    item = F.when(
+        is_rss,
+        F.concat(
+            F.lit("<item><title>Doc "), did.cast("string"), F.lit("</title><link>"),
+            url, F.lit("</link><pubDate>2024-03-0"), day, F.lit("</pubDate></item>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<entry><title>Doc "), did.cast("string"),
+            F.lit('</title><link href="'), url,
+            F.lit('"/><updated>2024-03-0'), day,
+            F.lit("T00:00:00Z</updated></entry>"),
+        )
+    )
+    feeds = (
+        d.select(h.alias("h"), F.struct(did.alias("doc_id"), item.alias("item")).alias("s"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("s")).alias("items"))
+        .select(
+            F.concat(
+                F.when(F.col("h").cast("int") < 5, F.lit("<rss version=\"2.0\"><channel>"))
+                .otherwise(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">')),
+                F.array_join(F.transform(F.col("items"), lambda s: s.item), ""),
+                F.when(F.col("h").cast("int") < 5, F.lit("</channel></rss>"))
+                .otherwise(F.lit("</feed>")),
+            ).alias("feed_xml")
+        )
+    )
+    return seeds_from_feeds(feeds)
+
+
+# =====================================================================
+# Temporal joins (as-of / range) — spider_spark.joins
+# =====================================================================
+
+@q(
+    "robots_asof_policy",
+    """
+    WITH snaps AS (
+      SELECT 'h' || (doc_id % 20)::VARCHAR AS host,
+             make_timestamp(2024, 3, 1, 0, 0, 0.0) + INTERVAL (doc_id) MINUTE AS snap_ts,
+             CASE doc_id % 3 WHEN 0 THEN 'allow_all'
+                             WHEN 1 THEN 'deny_cgi' ELSE 'deny_all' END AS policy
+      FROM documents WHERE doc_id % 25 = 0),
+    caps AS (
+      SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/d/' || doc_id::VARCHAR AS url,
+             'h' || (doc_id % 20)::VARCHAR AS host,
+             make_timestamp(2024, 3, 1, 0, 0, 0.0) + INTERVAL (doc_id % 3000) MINUTE AS warc_ts
+      FROM documents)
+    SELECT c.url, c.host,
+           epoch(c.warc_ts)::BIGINT AS warc_epoch,
+           epoch(s.snap_ts)::BIGINT AS snap_epoch,
+           s.policy
+    FROM caps c ASOF LEFT JOIN snaps s
+      ON c.host = s.host AND c.warc_ts >= s.snap_ts
+    """,
+)
+def robots_asof_policy(spark, sf_dir):
+    """Backward as-of join (joins.asof_join): each capture picks the robots
+    snapshot in effect at its capture time — the batch-replay form of the
+    reference's fetch-time robots poll (分布式京东商品详情页/client_crawler.py
+    re-reads policy per request). NO pair blowup: tag + union + ONE shuffle
+    on host + a single window's last(ignorenulls) carry-forward, vs the
+    per-host cross product a range-condition join would build over 10^10
+    captures. Captures before a host's first snapshot survive with NULL
+    policy (left-outer). Oracle is DuckDB's native ASOF LEFT JOIN — a
+    fully independent implementation of the same semantics."""
+    from spider_spark import joins
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    base_ts = F.make_timestamp(
+        F.lit(2024), F.lit(3), F.lit(1), F.lit(0), F.lit(0), F.lit(0)
+    )
+    snaps = d.where(did % 25 == 0).select(
+        F.concat(F.lit("h"), (did % 20).cast("string")).alias("host"),
+        (base_ts + F.make_interval(mins=did.cast("int"))).alias("snap_ts"),
+        F.when(did % 3 == 0, F.lit("allow_all"))
+        .when(did % 3 == 1, F.lit("deny_cgi"))
+        .otherwise(F.lit("deny_all"))
+        .alias("policy"),
+    )
+    caps = d.select(
+        F.concat(
+            F.lit("https://h"), (did % 20).cast("string"),
+            F.lit(".example.com/d/"), did.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (did % 20).cast("string")).alias("host"),
+        (base_ts + F.make_interval(mins=(did % 3000).cast("int"))).alias("warc_ts"),
+    )
+    out = joins.asof_join(caps, snaps, on="host", left_ts="warc_ts", right_ts="snap_ts")
+    return out.select(
+        "url",
+        "host",
+        F.unix_timestamp("warc_ts").alias("warc_epoch"),
+        F.unix_timestamp("snap_ts").alias("snap_epoch"),
+        "policy",
+    )
+
+
+@q(
+    "range_join_events",
+    """
+    WITH iv AS (
+      SELECT event_id AS window_id,
+             user_id % 50 AS k,
+             ts AS w_start,
+             ts + INTERVAL (20 + (event_id % 5) * 10) MINUTE AS w_end
+      FROM events WHERE event_id % 97 = 0),
+    pts AS (
+      SELECT event_id, user_id % 50 AS k, ts, value
+      FROM events WHERE event_id % 97 != 0)
+    SELECT p.event_id, p.k,
+           floor(epoch(p.ts))::BIGINT AS pt_epoch,
+           iv.window_id,
+           floor(epoch(iv.w_start))::BIGINT AS start_epoch,
+           round(p.value, 6) AS value
+    FROM pts p JOIN iv ON p.k = iv.k
+     AND p.ts >= iv.w_start AND p.ts < iv.w_end
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Point-in-interval range join (joins.range_join_binned): events fall
+    into the maintenance windows of their user cohort. The interval side
+    explodes onto the 10-minute grid buckets it overlaps (≤7 buckets per
+    ≤70-minute window) and the join becomes a plain (key, bucket) equi
+    join — shuffle-partitioned, AQE-splittable — instead of the per-key
+    cross product Catalyst falls back to for an equi+range condition on a
+    50-value key. Exact containment re-filters inside the bucket. Oracle
+    is the naive inequality join, which DuckDB's IEJoin executes exactly."""
+    from spider_spark import joins
+
+    ev = T(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        (F.col("user_id") % 50).alias("k"),
+        F.col("ts").alias("w_start"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                mins=(F.lit(20) + (F.col("event_id") % 5) * 10).cast("int")
+            )
+        ).alias("w_end"),
+    )
+    pts = ev.where(F.col("event_id") % 97 != 0).select(
+        "event_id", (F.col("user_id") % 50).alias("k"), "ts", "value"
+    )
+    out = joins.range_join_binned(
+        pts, iv, on="k", point_col="ts", start_col="w_start", end_col="w_end",
+        bin_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "k",
+        F.unix_timestamp("ts").alias("pt_epoch"),
+        "window_id",
+        F.unix_timestamp("w_start").alias("start_epoch"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# =====================================================================
 # Driver-verification window rotation
 # =====================================================================
 # The correctness driver verifies the FIRST 50 registry entries per round.

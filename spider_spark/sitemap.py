@@ -57,6 +57,100 @@ def sitemap_entries_udf():
     return parse
 
 
+_FEED_ENTRY = StructType([
+    StructField("link", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("published", StringType(), True),
+])
+
+_ITEM_LINK = dom.XPath("link/text()")
+_ITEM_TITLE = dom.XPath("title/text()")
+_ITEM_PUB = dom.XPath("pubdate/text()")        # RSS 2.0 <pubDate>
+_ENTRY_UPDATED = dom.XPath("updated/text()")   # Atom <updated>
+
+
+def _item_link(item: "dom.Node") -> str | None:
+    """First usable link of an <item>/<entry>.
+
+    ``<link>`` is a VOID tag to html.parser (it is one in HTML), so RSS's
+    ``<link>https://…</link>`` parses as an EMPTY link node whose URL text
+    becomes the next sibling — exactly how a browser reads a feed. Atom's
+    ``<link href="…"/>`` keeps the URL in the attribute. Handle both:
+    attribute first, else the text run immediately following the node."""
+    kids = item.children
+    for i, c in enumerate(kids):
+        if not isinstance(c, dom.Node) or c.tag != "link":
+            continue
+        href = (c.attrs.get("href") or "").strip()
+        if href:
+            return href
+        buf = []
+        for sib in kids[i + 1:]:
+            if isinstance(sib, dom.Node):
+                break
+            buf.append(sib)
+        txt = "".join(buf).strip()
+        if txt:
+            return txt
+    return None
+
+
+def _parse_feed(raw) -> list[dict]:
+    """RSS 2.0 <item> / Atom <entry> → (link, title, published) rows.
+
+    html.parser lowercases tag names, so <pubDate> arrives as ``pubdate``.
+    Out-of-spec bodies yield [] rather than throwing — crawl-wild input.
+    """
+    if raw is None:
+        return []
+    tree = dom.parse_html_bytes(raw)
+    out: list[dict] = []
+    for node in dom.xpath(tree, "//item") + dom.xpath(tree, "//entry"):
+        link = _item_link(node)
+        if not link:
+            continue
+        title = _ITEM_TITLE(node)
+        pub = _ITEM_PUB(node) or _ENTRY_UPDATED(node)
+        out.append({
+            "link": link,
+            "title": title[0].strip() if title else None,
+            "published": pub[0].strip() if pub else None,
+        })
+    return out
+
+
+def feed_entries_udf():
+    @pandas_udf(ArrayType(_FEED_ENTRY))
+    def parse(body: pd.Series) -> pd.Series:
+        return body.map(_parse_feed)
+
+    return parse
+
+
+def seeds_from_feeds(
+    feeds: DataFrame,
+    body_col: str = "feed_xml",
+    depth: int = 0,
+) -> DataFrame:
+    """(…, feed_xml) → (url, depth, title, published) seed rows from RSS
+    2.0 ``<item>`` and Atom ``<entry>`` elements — the push-style discovery
+    channel next to sitemaps' pull-style one (a news crawl seeds from feeds
+    every cycle; sitemap lastmod drives the slow tier). Same Arrow-batched
+    parse shape as ``seeds_from_sitemaps``; dedup/canonicalization stays
+    downstream in the frontier, where it already exists."""
+    e = F.explode(feed_entries_udf()(F.col(body_col))).alias("e")
+    return (
+        feeds.select(e)
+        .where(F.col("e.link").isNotNull())
+        .select(
+            F.col("e.link").alias("url"),
+            F.lit(depth).alias("depth"),
+            F.col("e.title").alias("title"),
+            F.col("e.published").alias("published"),
+        )
+    )
+
+
 def seeds_from_sitemaps(
     sitemaps: DataFrame,
     body_col: str = "sitemap_xml",

@@ -295,6 +295,227 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------------ PQ/ADC
+
+def _subvec(vec: Column, j: int, sub: int) -> Column:
+    return F.slice(vec, j * sub + 1, sub)
+
+
+def _pq_cb_literal(cb_j: list[list[float]]) -> Column:
+    """One subspace's codebook as array<struct<cid, cv, nrm>> — like the
+    IVF centroid literal, the model lives in the plan (broadcast pattern),
+    so encode/score are pure per-row expressions."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).cast("array<double>").alias("cv"),
+                F.lit(float(sum(x * x for x in cv))).alias("nrm"),
+            )
+            for c, cv in enumerate(cb_j)
+        ]
+    )
+
+
+def pq_encode_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> PQ codes: per subspace, the L2-argmin codebook entry.
+    ``||v_j − c||² = ||v_j||² − 2·v_j·c + ||c||²`` and the first term is
+    constant per row, so the argmin sorts on ``(nrm − 2·dot, cid)`` — all
+    codegen, no Python. Ties go to the lowest cid (deterministic)."""
+    sub = len(codebooks[0][0])
+    parts = []
+    for j, cb_j in enumerate(codebooks):
+        vj = _subvec(vec, j, sub)
+        scored = F.transform(
+            _pq_cb_literal(cb_j),
+            lambda s, _vj=vj: F.struct(
+                (s["nrm"] - F.lit(2.0) * dot_col(_vj, s["cv"])).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        parts.append(F.array_sort(scored)[0]["cid"])
+    return F.array(*parts)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): the compressed corpus — m small ints per vector instead
+    of dim floats (64-dim float → 4-8 bytes, a 32-64× scan-size cut). This
+    is THE reason PQ survives 100 TB: the top-k scan touches codes only;
+    raw vectors are never reread after encoding. Map-only, no shuffle."""
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_col(_to_double(F.col(vec_col)), codebooks).alias("codes"),
+    )
+
+
+def adc_score_col(qvec: Column, codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance (ADC, Jégou et al. TPAMI'11) inner-product
+    score: Σ_j ⟨q_j, codebook_j[codes_j]⟩ — the uncompressed query against
+    the quantized corpus vector. Inner product; on unit-normalized input
+    this IS cosine. Exact when quantization error is zero (the oracle
+    fixture), approximate otherwise (recall contract in tests)."""
+    sub = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for j, cb_j in enumerate(codebooks):
+        entry = F.element_at(
+            _pq_cb_literal(cb_j), (F.element_at(codes, j + 1) + 1).cast("int")
+        )
+        total = total + dot_col(_subvec(qvec, j, sub), entry["cv"])
+    return total
+
+
+def pq_topk_encoded(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k by ADC score over a pre-encoded corpus with an injected /
+    pre-trained codebook model: broadcast the (small) query side against
+    the codes scan, per-partition top-k then global top-k via the rank
+    window — identical join/window shape to brute_force_topk, but the
+    scanned corpus is m ints/row. (query_id, neighbor_id, rank, score)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("_qv")
+    )
+    cond = (
+        (F.col("neighbor_id") != F.col("query_id"))
+        if exclude_self
+        else F.lit(True)
+    )
+    scored = widen(codes).join(F.broadcast(q), cond).withColumn(
+        "score", adc_score_col(F.col("_qv"), F.col("codes"), codebooks)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace L2 Lloyd k-means, ALL subspaces fused into one job per
+    iteration: the corpus is scanned once, every subspace's assignment is
+    a per-row expression, and a single groupBy((j, cid), dim) avg yields
+    the full m × n_codes × dim/m model (the only driver materialization —
+    broadcast-variable sized, like the IVF centroids). Init = subvectors
+    of the n_codes rows with the smallest xxhash64(id), reproducible
+    anywhere."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v")
+    )
+    init = (
+        v.orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n_codes)
+        .select("_v")
+        .collect()
+    )
+    cbs = [
+        [list(r["_v"])[j * sub:(j + 1) * sub] for r in init]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        codes = v.withColumn("_codes", pq_encode_col(F.col("_v"), cbs))
+        pairs = codes.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("_j"),
+                        F.element_at("_codes", j + 1).alias("_cid"),
+                        _subvec(F.col("_v"), j, sub).alias("_sv"),
+                    )
+                    for j in range(m)
+                ])
+            ).alias("e")
+        )
+        sums = (
+            pairs.select("e._j", "e._cid", F.posexplode("e._sv").alias("_dim", "_x"))
+            .groupBy("_j", "_cid", "_dim")
+            .agg(F.avg("_x").alias("_mu"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            got.setdefault((r["_j"], r["_cid"]), {})[r["_dim"]] = r["_mu"]
+        cbs = [
+            [
+                [got[(j, c)][d] for d in range(sub)] if (j, c) in got else cbs[j][c]
+                for c in range(n_codes)
+            ]
+            for j in range(m)
+        ]
+    return cbs
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full PQ pipeline: train → encode → ADC top-k. Composes with IVF at
+    real scale (probe lists, then ADC within them); here PQ is exercised
+    standalone so its recall is measurable in isolation."""
+    cbs = pq_train(vectors, m, n_codes, iters, dim, id_col, vec_col)
+    codes = pq_encode(vectors, cbs, id_col, vec_col)
+    return pq_topk_encoded(
+        codes, queries, cbs, k, id_col, vec_col, exclude_self=True
+    )
+
+
+def pq_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of the PQ/ADC path vs the exact ranker — same contract
+    surface as lsh_recall_at_k. (query_id, n_hits, recall)."""
+    exact = brute_force_topk(vectors, queries, k, id_col, vec_col)
+    approx = pq_topk(vectors, queries, k, m, n_codes, iters, dim, id_col, vec_col)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    got = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        per_q.join(got, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
 def lsh_recall_at_k(
     vectors: DataFrame,
     queries: DataFrame,

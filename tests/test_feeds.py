@@ -1,0 +1,83 @@
+"""RSS 2.0 / Atom feed seed discovery (sitemap.seeds_from_feeds)."""
+
+from __future__ import annotations
+
+from spider_spark.sitemap import _parse_feed, seeds_from_feeds
+
+RSS = b"""<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>Example feed</title>
+  <item>
+    <title>First &amp; finest</title>
+    <link>https://example.com/a?x=1&amp;y=2</link>
+    <pubDate>Mon, 04 Mar 2024 08:00:00 GMT</pubDate>
+  </item>
+  <item>
+    <title>No date</title>
+    <link>
+      https://example.com/b
+    </link>
+  </item>
+  <item><title>No link at all</title></item>
+</channel></rss>"""
+
+ATOM = b"""<?xml version="1.0" encoding="utf-8"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>Atom feed</title>
+  <entry>
+    <title>Entry one</title>
+    <link href="https://example.com/atom/1"/>
+    <updated>2024-03-05T12:00:00Z</updated>
+  </entry>
+  <entry>
+    <link rel="alternate" type="text/html" href="https://example.com/atom/2"></link>
+    <title>Entry two</title>
+  </entry>
+</feed>"""
+
+
+def test_parse_rss_void_link_sibling_text():
+    rows = _parse_feed(RSS)
+    assert rows == [
+        {
+            "link": "https://example.com/a?x=1&y=2",  # entities decoded
+            "title": "First & finest",
+            "published": "Mon, 04 Mar 2024 08:00:00 GMT",
+        },
+        {"link": "https://example.com/b", "title": "No date", "published": None},
+    ]
+
+
+def test_parse_atom_href_attribute():
+    rows = _parse_feed(ATOM)
+    assert rows == [
+        {
+            "link": "https://example.com/atom/1",
+            "title": "Entry one",
+            "published": "2024-03-05T12:00:00Z",
+        },
+        {"link": "https://example.com/atom/2", "title": "Entry two", "published": None},
+    ]
+
+
+def test_parse_feed_garbage_and_none():
+    assert _parse_feed(None) == []
+    assert _parse_feed(b"not xml at all <<<") == []
+    assert _parse_feed(b"<rss><channel><item></item></channel></rss>") == []
+
+
+def test_seeds_from_feeds_dataframe(spark):
+    df = spark.createDataFrame(
+        [(RSS.decode(),), (ATOM.decode(),), (None,)], "feed_xml string"
+    )
+    out = seeds_from_feeds(df, depth=2)
+    rows = sorted(out.collect(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == [
+        "https://example.com/a?x=1&y=2",
+        "https://example.com/atom/1",
+        "https://example.com/atom/2",
+        "https://example.com/b",
+    ]
+    assert all(r["depth"] == 2 for r in rows)
+    assert rows[0]["published"] == "Mon, 04 Mar 2024 08:00:00 GMT"
+    assert rows[1]["published"] == "2024-03-05T12:00:00Z"

@@ -1,0 +1,119 @@
+"""Product-quantization ANN (vectorops.pq_*): encoder exactness on planted
+codes, ADC ranking vs a numpy model, and the trained-codebook recall
+contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark import vectorops
+
+# 2 subspaces × 4 codes × 3 dims — small enough to reason about by hand
+CBS = [
+    [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [2.0, 2.0, 2.0]],
+    [[5.0, 0.0, 1.0], [0.0, 5.0, 1.0], [1.0, 1.0, 1.0], [-3.0, 0.0, 0.0]],
+]
+
+
+def _concat(c0: int, c1: int) -> list[float]:
+    return CBS[0][c0] + CBS[1][c1]
+
+
+def test_pq_encode_recovers_planted_codes(spark):
+    rows = [(i, _concat(i % 4, (i + 1) % 4)) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in vectorops.pq_encode(df, CBS).collect()
+    }
+    assert got == {i: [i % 4, (i + 1) % 4] for i in range(16)}
+
+
+def test_pq_encode_argmin_with_quantization_error(spark):
+    # a perturbed vector still snaps to the nearest entry per subspace
+    v = [0.9, 0.1, -0.1, 4.4, 0.2, 1.0]  # near cb0[0] ++ cb1[0]
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    [r] = vectorops.pq_encode(df, CBS).collect()
+    assert list(r["codes"]) == [0, 0]
+
+
+def test_pq_adc_ranking_matches_numpy_model(spark):
+    corpus = [(i, _concat(i % 4, (i * 3 + 1) % 4)) for i in range(20)]
+    queries = [(100, [1.0, 2.0, -1.0, 0.5, 4.0, 1.0]), (101, [-1.0] * 6)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    codes = vectorops.pq_encode(cdf, CBS)
+    got = vectorops.pq_topk_encoded(codes, qdf, CBS, k=4).collect()
+
+    def model(qv):
+        scores = [(i, float(np.dot(qv, v))) for i, v in corpus]
+        return [
+            i for i, _ in sorted(scores, key=lambda t: (-t[1], t[0]))[:4]
+        ]
+
+    for qid, qv in queries:
+        mine = [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == model(qv), f"query {qid}"
+        # zero quantization error ⇒ ADC score IS the exact dot product
+        for r in got:
+            if r["query_id"] == qid:
+                v = dict(corpus)[r["neighbor_id"]]
+                assert r["score"] == pytest.approx(float(np.dot(qv, v)))
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs1 = vectorops.pq_train(emb, m=4, n_codes=8, iters=0, dim=64)
+    cbs2 = vectorops.pq_train(emb, m=4, n_codes=8, iters=2, dim=64)
+
+    def mse(cbs):
+        codes = vectorops.pq_encode(emb, cbs)
+        joined = codes.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        recon = F.concat(*[
+            F.element_at(
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in cbs[j][c]]).cast("array<double>")
+                    for c in range(8)
+                ]),
+                (F.element_at("codes", j + 1) + 1).cast("int"),
+            )
+            for j in range(4)
+        ])
+        err = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), recon,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return joined.select(F.avg(err).alias("m")).collect()[0]["m"]
+
+    e1, e2 = mse(cbs1), mse(cbs2)
+    assert e2 < e1, f"Lloyd iterations must cut reconstruction MSE: {e1} -> {e2}"
+
+
+def test_pq_recall_contract_on_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    rec = vectorops.pq_recall_at_k(
+        emb, queries, k=5, m=4, n_codes=8, iters=2, dim=64
+    )
+    mean = rec.agg(F.avg("recall").alias("r")).collect()[0]["r"]
+    assert mean >= 0.5, f"mean PQ recall@5 too low: {mean}"
+
+
+def test_pq_train_rejects_bad_subspace_split(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        vectorops.pq_train(emb, m=5, n_codes=4, iters=0, dim=64)
