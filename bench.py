@@ -109,6 +109,10 @@ HEADLINE = [
     "decontaminate_bloom_gate",  # round 3: Bloom-gated decontamination
     "quality_model_scores",  # round 3: model-based quality classifier
     "corpus_export_manifest",  # round 3: sharded export (real write+readback)
+    "conditional_refetch",   # round 3: HTTP 304 revalidation planning
+    "politeness_schedule",   # round 3: per-host fetch-slot materialization
+    "focused_priority",      # round 3: focused-crawl score propagation
+    "epoch_shuffle",         # round 3: histogram-offset global shuffle index
 ]
 
 

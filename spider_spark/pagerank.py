@@ -291,3 +291,52 @@ def opic_cash(links: DataFrame, iters: int = 5) -> DataFrame:
     outdeg.unpersist()
     nodes.unpersist()
     return out
+
+
+def focused_priority(
+    links: DataFrame,
+    scores: DataFrame,
+    decay: float = 0.85,
+    url_col: str = "url",
+    score_col: str = "score",
+) -> DataFrame:
+    """Focused-crawl frontier priority (Chakrabarti, van den Berg, Dom,
+    "Focused crawling: a new approach to topic-specific Web resource
+    discovery", WWW 1999 — public): an undiscovered URL inherits the
+    topical relevance of the best page that links to it, damped by one
+    hop — the crawler expands the frontier greedily toward on-topic
+    regions instead of breadth-first. ``scores`` is any per-page relevance
+    signal (here curation.quality_lr_score's classifier logit; the paper's
+    is a text classifier too).
+
+    Returns (url, priority, best_parent_score, n_parents) for every link
+    TARGET with at least one scored parent; apply_priority consumes it
+    unchanged after ``priority`` is negated upstream (higher relevance ⇒
+    popped sooner, same convention as pagerank ranks).
+
+    Scale shape: one equi join links⋈scores on src (scores is per-CRAWLED-
+    page — orders of magnitude smaller than the frontier — and broadcast-
+    able while the crawled set is; afterwards it hash-partitions the same
+    as the links table), then one Exchange(dst) max/count agg. max() is
+    algebraic, so partial aggregation bounds hot-target reducer state the
+    same way the inlink counter's sum does — no collect_set, no skew
+    hazard. Priority propagates ONE hop per round, exactly the cadence the
+    round loop re-scores at; no iteration, no convergence state."""
+    parent = scores.select(
+        F.col(url_col).alias("src"), F.col(score_col).alias("_s")
+    )
+    return (
+        links.select("src", "dst")
+        .join(parent, "src")
+        .groupBy(F.col("dst").alias("url"))
+        .agg(
+            F.max("_s").alias("best_parent_score"),
+            F.countDistinct("src").alias("n_parents"),
+        )
+        .select(
+            "url",
+            (F.col("best_parent_score") * F.lit(decay)).alias("priority"),
+            "best_parent_score",
+            "n_parents",
+        )
+    )

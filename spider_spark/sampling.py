@@ -124,3 +124,62 @@ def weighted_sample(
         .where(F.col("srank") <= k)
         .withColumn("wkey", F.round("wkey", 9))
     )
+
+
+HASH60_SPACE = 1 << 60
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global epoch shuffle with a SCALABLE dense index:
+    every row gets ``shuffle_idx`` ∈ [0, n) — its position in the corpus
+    ordered by the cross-engine hash of (seed, id) — without ever running
+    a global-order window (a single-partition bottleneck that is the
+    classic zipWithIndex trap at 10^10 rows). A trainer consumes epochs
+    by changing ``seed``: each epoch is an independent uniform permutation,
+    reproducible on any engine / cluster size / partition layout, and a
+    given row's relative order against surviving rows is stable under
+    corpus growth within an epoch (hash keys don't move).
+
+    The distributed-ranking pattern (range-partitioned histogram offsets):
+
+    1. key = hash60(seed:id) — uniform in [0, 2^60);
+    2. bucket = key // ceil(2^60 / B) — a RANGE of the key space, so
+       bucket order IS key order and ranks compose across buckets
+       (a pmod bucket would interleave and break this);
+    3. per-bucket counts (one partial-agg shuffle of B rows) →
+       running-sum offsets over the ≤B-row histogram (tiny window);
+    4. broadcast-join offsets back; shuffle_idx = bucket_offset +
+       (row_number within Exchange(bucket) by (key, id) − 1).
+
+    Equality with the naive plan is exact: ORDER BY (key, id) ties can
+    only fall inside one bucket, so per-bucket rank + offset equals the
+    global row_number. Hash uniformity bounds every bucket at ~n/B rows
+    (B chosen ~ cluster cores × 4 at scale), so the only per-key window
+    sees 1/B of the corpus and skew is structurally impossible — no salt
+    needed because the key is already a cryptographic hash."""
+    width = -(-HASH60_SPACE // n_buckets)  # ceil
+    key = sample_hash_col(F.col(id_col), f"epoch:{seed}")
+    # `div`, not `/`: float division loses integer precision above 2^53,
+    # and a boundary key mis-bucketed by one breaks rank composition
+    keyed = df.withColumn("_k", key).withColumn(
+        "_b", F.expr(f"_k div {width}L")
+    )
+    hist = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "_b", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off")
+    )
+    rank_w = Window.partitionBy("_b").orderBy(F.col("_k"), F.col(id_col))
+    return (
+        keyed.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "shuffle_idx",
+            (F.col("_off") + F.row_number().over(rank_w) - 1).cast("long"),
+        )
+        .drop("_k", "_b", "_off")
+    )

@@ -323,18 +323,25 @@ def pq_encode_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     constant per row, so the argmin sorts on ``(nrm − 2·dot, cid)`` — all
     codegen, no Python. Ties go to the lowest cid (deterministic)."""
     sub = len(codebooks[0][0])
-    parts = []
-    for j, cb_j in enumerate(codebooks):
-        vj = _subvec(vec, j, sub)
+
+    # NB: the lambda must stay UNARY — a second (defaulted) parameter makes
+    # pyspark treat it as the (element, index) binary form and bind the
+    # captured column to the INT index variable. Close over vj via a helper
+    # scope instead (fresh cell per subspace, no late-binding hazard).
+    def _argmin_cid(cb_j: list[list[float]], vj: Column) -> Column:
         scored = F.transform(
             _pq_cb_literal(cb_j),
-            lambda s, _vj=vj: F.struct(
-                (s["nrm"] - F.lit(2.0) * dot_col(_vj, s["cv"])).alias("d"),
+            lambda s: F.struct(
+                (s["nrm"] - F.lit(2.0) * dot_col(vj, s["cv"])).alias("d"),
                 s["cid"].alias("cid"),
             ),
         )
-        parts.append(F.array_sort(scored)[0]["cid"])
-    return F.array(*parts)
+        return F.array_sort(scored)[0]["cid"]
+
+    return F.array(*[
+        _argmin_cid(cb_j, _subvec(vec, j, sub))
+        for j, cb_j in enumerate(codebooks)
+    ])
 
 
 def pq_encode(
@@ -397,6 +404,57 @@ def pq_topk_encoded(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def pq_topk_refined(
+    vectors: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (the FAISS IVFPQ+refine pattern,
+    Jégou et al. TPAMI'11 §V): the compressed-code scan produces a
+    ``shortlist`` of R ≫ k candidates per query by ADC score, then ONLY
+    those R rows fetch their raw vectors for an exact cosine re-rank.
+    This is how PQ earns production recall: quantization error decides
+    membership of a generous shortlist (cheap to get right), never the
+    final ranking (measured here: raw ADC recall@5 0.1-0.2 on the
+    10-cluster fixture, refined 0.9 at R=100 — the fine ranking is
+    noise-dominated at 12-32 bits, but the true top-k almost always
+    survives into the top-100).
+
+    Scale shape: the full-corpus scan still touches codes only (m bytes a
+    row); the re-rank join is R·|queries| rows against the vector table —
+    a broadcast-able fraction at any corpus size since R is fixed. One
+    extra equi join + one window over the (query-partitioned, tiny)
+    shortlist; raw vectors are read for ~R·|queries| rows instead of the
+    whole corpus, preserving the 32-64× scan cut."""
+    short = pq_topk_encoded(
+        codes, queries, codebooks, k=shortlist, id_col=id_col,
+        vec_col=vec_col, exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("_qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("_nv")
+    )
+    rescored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .withColumn("score", cosine_col(F.col("_qv"), F.col("_nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
@@ -477,12 +535,20 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist: int | None = None,
 ) -> DataFrame:
-    """Full PQ pipeline: train → encode → ADC top-k. Composes with IVF at
-    real scale (probe lists, then ADC within them); here PQ is exercised
-    standalone so its recall is measurable in isolation."""
+    """Full PQ pipeline: train → encode → ADC top-k, optionally refined
+    (``shortlist=R`` routes through pq_topk_refined's exact re-rank — the
+    production configuration; ``None`` is the raw-ADC baseline whose
+    recall isolates quantization quality). Composes with IVF at real
+    scale (probe lists, then ADC within them)."""
     cbs = pq_train(vectors, m, n_codes, iters, dim, id_col, vec_col)
     codes = pq_encode(vectors, cbs, id_col, vec_col)
+    if shortlist is not None:
+        return pq_topk_refined(
+            vectors, codes, queries, cbs, k, shortlist, id_col, vec_col,
+            exclude_self=True,
+        )
     return pq_topk_encoded(
         codes, queries, cbs, k, id_col, vec_col, exclude_self=True
     )
@@ -498,11 +564,13 @@ def pq_recall_at_k(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist: int | None = None,
 ) -> DataFrame:
     """recall@k of the PQ/ADC path vs the exact ranker — same contract
     surface as lsh_recall_at_k. (query_id, n_hits, recall)."""
     exact = brute_force_topk(vectors, queries, k, id_col, vec_col)
-    approx = pq_topk(vectors, queries, k, m, n_codes, iters, dim, id_col, vec_col)
+    approx = pq_topk(vectors, queries, k, m, n_codes, iters, dim, id_col,
+                     vec_col, shortlist=shortlist)
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
     got = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))

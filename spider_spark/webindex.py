@@ -673,3 +673,119 @@ def anchor_profile(
             1, n_anchors,
         ).alias("anchor_texts"),
     )
+
+
+# --------------------------------------------- conditional refetch (304)
+def conditional_refetch(
+    history: DataFrame,
+    live: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    bytes_col: str = "n_bytes",
+) -> DataFrame:
+    """HTTP revalidation planning (RFC 9110 §13 conditional requests): the
+    archive's latest capture per URL carries a strong validator (the
+    payload digest standing in for an ETag); revalidating the live page
+    against it classifies each candidate fetch:
+
+    - ``first_fetch``   — no prior capture: unconditional GET, full body.
+    - ``not_modified``  — live digest equals the stored validator: the
+      origin answers 304, the response body is never transferred and the
+      stored capture stays canonical (``bytes_saved`` = live body size).
+    - ``modified``      — validator mismatch: 200, full transfer, new
+      capture supersedes.
+
+    This is the bandwidth half of incremental crawling: recrawl_priority /
+    sitemap_staleness decide WHO gets budget; conditional_refetch prices
+    WHAT each granted fetch actually costs. At Common-Crawl scale the
+    not_modified fraction is the dominant saving (most pages are static
+    between visits), so ``bytes_saved`` drives the politeness budget's
+    effective page rate.
+
+    Plan: latest-capture resolution is one window over Exchange(url) —
+    per-URL groups are capture counts (bounded by retention), never a
+    global sort; the revalidation join is one url-keyed equi join (the
+    live side arrives url-partitioned from the same round's fetch), and
+    the classification is a codegen'd CASE. No UDF, no driver state."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("last_ts").desc(), F.col("validator").desc()
+    )
+    last = (
+        history.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("last_ts"),
+            F.col(digest_col).alias("validator"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    lv = live.select(
+        F.col(url_col).alias("url"),
+        F.col(digest_col).alias("live_digest"),
+        F.col(bytes_col).cast("long").alias("_n_bytes"),
+    )
+    outcome = (
+        F.when(F.col("validator").isNull(), F.lit("first_fetch"))
+        .when(F.col("live_digest") == F.col("validator"), F.lit("not_modified"))
+        .otherwise(F.lit("modified"))
+    )
+    return lv.join(last, "url", "left").select(
+        "url",
+        outcome.alias("outcome"),
+        "last_ts",
+        F.when(outcome == "not_modified", F.col("_n_bytes"))
+        .otherwise(F.lit(0)).cast("long").alias("bytes_saved"),
+        F.when(outcome != "not_modified", F.col("_n_bytes"))
+        .otherwise(F.lit(0)).cast("long").alias("bytes_fetched"),
+    )
+
+
+# --------------------------------------------- politeness schedule
+def politeness_schedule(
+    batch: DataFrame,
+    policy: DataFrame,
+    start_ts: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+    delay_col: str = "crawl_delay",
+) -> DataFrame:
+    """Materialize a popped fetch batch into per-host time slots: within
+    each host, URLs are served best-priority-first, one every
+    ``crawl_delay`` seconds from ``start_ts`` — the wall-clock schedule a
+    fetcher fleet executes after round.pop_batch decides membership
+    (reference: the sleep-per-request politeness in qcc.py's fetch loop;
+    RFC 9309 Crawl-delay). Emitting the schedule as DATA is what lets a
+    1000-executor fleet stay polite without coordination: every executor
+    holds disjoint hosts (the Exchange below IS the assignment) and
+    timestamps are preassigned, so no cross-executor rate-limiter exists.
+
+    Returns (url, host, slot, fetch_offset_s, fetch_at). ``slot`` is the
+    0-based within-host serial position; ties on priority break by url so
+    the schedule is deterministic under any executor schedule.
+
+    Plan: one window over Exchange(host) — per-host groups are already
+    bounded by the pop's budget, the skew guard upstream — plus a
+    broadcast join against the (hosts-sized) policy table. Codegen end to
+    end; the timestamp arithmetic never leaves the JVM."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).asc(), F.col(url_col)
+    )
+    pol = F.broadcast(
+        policy.select(F.col(host_col).alias("_ph"),
+                      F.col(delay_col).cast("double").alias("_delay"))
+    )
+    slot = F.row_number().over(w) - 1
+    offset = F.col("slot") * F.coalesce(F.col("_delay"), F.lit(1.0))
+    epoch0 = F.unix_timestamp(F.lit(start_ts).cast("timestamp"))
+    return (
+        batch.withColumn("slot", slot.cast("int"))
+        .join(pol, F.col(host_col) == F.col("_ph"), "left")
+        .select(
+            url_col, host_col, "slot",
+            offset.alias("fetch_offset_s"),
+            F.timestamp_seconds(epoch0 + offset).alias("fetch_at"),
+        )
+    )
