@@ -410,3 +410,58 @@ def quality_lr_score(docs: DataFrame, weights: dict[str, float] | None = None,
         F.round(logit, 9).alias("quality_logit"),
         (logit >= 0.0).alias("keep"),
     )
+
+
+def temperature_quotas(
+    docs: DataFrame,
+    source_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-reweighted domain quotas — the multilingual/multi-source
+    sampling rule from XLM-R (Conneau et al. 2020) and the LLaMA corpus
+    recipe (public): sample probability p_d ∝ n_d^alpha, alpha < 1
+    flattening the head so tail domains keep representation. Returns one
+    row per domain: (source, n_docs, p, quota) with Σ quota == budget
+    EXACTLY via largest-remainder apportionment (floor everywhere, then
+    the remaining seats go to the largest fractional parts, ties broken
+    by source — fully deterministic, no iteration).
+
+    Scale shape: one partial-agg count shuffle reduces the corpus to the
+    domain table; every window after that runs over |domains| rows (10^5-6
+    at web scale — driver-free but trivially small for windows). The
+    realized sample is then stratified_sample with per-stratum k = quota
+    (one corpus window), so the whole mix costs two shuffles end to end.
+
+    Cross-engine determinism caveat (oracle contract): alpha = 0.5 uses
+    sqrt, which IEEE 754 rounds correctly — bit-identical everywhere.
+    Arbitrary alpha goes through pow(), which libm does NOT guarantee
+    correctly rounded; quotas can differ by ±1 seat across engines at
+    razor-edge fractional ties. Value-level oracles should pin alpha=0.5;
+    production use may pass any alpha."""
+    if alpha == 0.5:
+        weight = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        weight = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    agg = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    p = weight / F.sum(weight).over(w_all)
+    seats = p * F.lit(float(budget))
+    base = F.floor(seats).cast("long")
+    frac = seats - F.floor(seats)
+    shorted = agg.select(
+        "source", "n_docs", p.alias("p"), base.alias("_base"),
+        frac.alias("_frac"),
+    ).withColumn("_left", F.lit(budget) - F.sum("_base").over(w_all))
+    w_rank = Window.orderBy(F.col("_frac").desc(), F.col("source"))
+    return (
+        shorted.withColumn("_r", F.row_number().over(w_rank))
+        .select(
+            "source", "n_docs", "p",
+            (F.col("_base")
+             + F.when(F.col("_r") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+             ).cast("long").alias("quota"),
+        )
+    )

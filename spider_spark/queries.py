@@ -5614,6 +5614,41 @@ def range_join_events(spark, sf_dir):
 # epoch shuffle — session-7 crawl-scheduling + trainer-layout additions
 # =====================================================================
 
+@q(
+    "temperature_mix",
+    """
+    WITH agg AS (SELECT lang AS source, count(*)::BIGINT AS n_docs
+                 FROM documents GROUP BY lang),
+    w AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wt FROM agg),
+    p AS (SELECT source, n_docs, wt / sum(wt) OVER () AS p FROM w),
+    s AS (SELECT source, n_docs, p,
+                 floor(p * 100)::BIGINT AS base,
+                 p * 100 - floor(p * 100) AS frac
+          FROM p),
+    r AS (SELECT *, 100 - sum(base) OVER () AS leftover,
+                 row_number() OVER (ORDER BY frac DESC, source) AS rn
+          FROM s)
+    SELECT source, n_docs, round(p, 9) AS p,
+           (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+    FROM r
+    """,
+)
+def temperature_mix(spark, sf_dir):
+    """Temperature-reweighted sampling quotas (curation.temperature_quotas
+    — the XLM-R / LLaMA corpus rule, p_d ∝ n_d^α): per-language quotas at
+    α=0.5 over the naturally skewed lang column (en dominates ~3.4×), so
+    the flattening is value-visible — en's share drops, tail languages
+    gain. Largest-remainder apportionment makes Σ quota == budget exactly,
+    deterministically (floor + fractional-rank seats, ties by source).
+    α=0.5 is the oracle-exact configuration (sqrt is correctly rounded;
+    pow is not — see the operator docstring). One count shuffle; every
+    window runs over the |domains|-row aggregate."""
+    from spider_spark.curation import temperature_quotas
+
+    d = T(spark, sf_dir, "documents").select("lang")
+    out = temperature_quotas(d, "lang", budget=100, alpha=0.5)
+    return out.select("source", "n_docs", F.round("p", 9).alias("p"), "quota")
+
 _REFETCH_URL_SQL = (
     "'https://h' || (doc_id % 13)::VARCHAR || '.docs.example.com/d/' || doc_id::VARCHAR"
 )
@@ -5867,7 +5902,7 @@ _VERIFY_FIRST: list[str] = [
     # quality_model_scores, corpus_export_manifest, doc_length_quantiles,
     # bpe_learn_merges, ann_pq_adc_topk, feed_seeds, robots_asof_policy,
     # range_join_events, conditional_refetch, politeness_schedule,
-    # focused_priority, epoch_shuffle, ann_pq_refined_topk.
+    # focused_priority, epoch_shuffle, ann_pq_refined_topk, temperature_mix.
 ]
 
 

@@ -21,6 +21,11 @@ fold with a one-symbol carry — whole-stage codegen, no Python worker.
 
 from __future__ import annotations
 
+# module-level, not inside bpe_encode: `from __future__ import annotations`
+# stringifies the UDF's type hints and pyspark resolves them against MODULE
+# globals — a function-local `import pandas as pd` leaves 'pd.Series'
+# unevaluatable and the pandas_udf signature inference fails
+import pandas as pd  # noqa: F401 (used by UDF type-hint resolution)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

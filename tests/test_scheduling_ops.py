@@ -149,3 +149,41 @@ def test_epoch_shuffle_single_bucket_degenerates_to_global(spark):
     out = [r.doc_id for r in
            epoch_shuffle(df, "doc_id", "x", n_buckets=1).orderBy("shuffle_idx").collect()]
     assert out == _naive_order(df, "doc_id", "x")
+
+
+# ---------------------------------------------------- temperature quotas
+def test_temperature_quotas_sum_and_flattening(spark):
+    from spider_spark.curation import temperature_quotas
+
+    rows = [("en",)] * 80 + [("fr",)] * 16 + [("is",)] * 4
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.source: r for r in
+           temperature_quotas(df, "lang", budget=50, alpha=0.5).collect()}
+    assert sum(r.quota for r in out.values()) == 50
+    # alpha < 1 flattens: head loses share vs proportional, tail gains
+    assert out["en"].quota < 0.80 * 50
+    assert out["is"].quota > 0.04 * 50
+    # p ∝ sqrt(n): en/is ratio sqrt(80/4) ≈ 4.47, not 20
+    assert abs(out["en"].p / out["is"].p - (80 / 4) ** 0.5) < 1e-9
+
+
+def test_temperature_quotas_alpha_one_is_proportional(spark):
+    from spider_spark.curation import temperature_quotas
+
+    rows = [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 50
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.source: r.quota for r in
+           temperature_quotas(df, "lang", budget=10, alpha=1.0).collect()}
+    assert out == {"a": 3, "b": 2, "c": 5}
+
+
+def test_temperature_quotas_remainder_ties_break_by_source(spark):
+    from spider_spark.curation import temperature_quotas
+
+    # two equal-size domains, odd budget: the extra seat must go to the
+    # lexicographically smaller source, deterministically
+    rows = [("x",)] * 10 + [("y",)] * 10
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.source: r.quota for r in
+           temperature_quotas(df, "lang", budget=7, alpha=0.5).collect()}
+    assert out == {"x": 4, "y": 3}
