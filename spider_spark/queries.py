@@ -5615,6 +5615,84 @@ def range_join_events(spark, sf_dir):
 # =====================================================================
 
 @q(
+    "revisit_plan",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             'https://h' || (doc_id % 13)::VARCHAR || '.docs.example.com/d/'
+               || doc_id::VARCHAR AS url,
+             i,
+             md5(doc_id::VARCHAR || ':' || (i // (1 + doc_id % 6))::VARCHAR) AS digest
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS i) g
+      WHERE i <= 4 + doc_id % 3),
+    c AS (
+      SELECT url, i,
+             CASE WHEN lag(digest) OVER (PARTITION BY url ORDER BY i) IS NULL THEN 0
+                  WHEN digest != lag(digest) OVER (PARTITION BY url ORDER BY i) THEN 1
+                  ELSE 0 END AS changed
+      FROM h),
+    a AS (SELECT url, count(*)::INT AS n_obs, sum(changed)::INT AS n_changes,
+                 max(i)::BIGINT AS last_obs
+          FROM c GROUP BY url),
+    r AS (
+      SELECT url,
+             CASE WHEN n_obs > 1 THEN n_changes::DOUBLE / (n_obs - 1)::DOUBLE
+                  ELSE 0.0 END AS change_rate,
+             last_obs
+      FROM a),
+    t AS (
+      SELECT url, change_rate, last_obs,
+             CASE WHEN change_rate >= 0.8 THEN 'hot'
+                  WHEN change_rate >= 0.3 THEN 'warm' ELSE 'cold' END AS tier
+      FROM r),
+    p AS (
+      SELECT url, tier, change_rate, last_obs,
+             (CASE tier WHEN 'hot' THEN 1 WHEN 'warm' THEN 4 ELSE 12 END)::INT AS interval
+      FROM t)
+    SELECT url, tier, change_rate, last_obs, interval,
+           (last_obs + interval)::BIGINT AS due,
+           (last_obs + interval) <= 8 AS overdue
+    FROM p
+    """,
+)
+def revisit_plan_q(spark, sf_dir):
+    """Revisit schedule composition (webindex.revisit_plan): change-rate
+    tiers (Cho & Garcia-Molina estimator) mapped to concrete revisit
+    intervals (hot 1 / warm 4 / cold 12) and a due capture index, with
+    overdue flagged at now=8 — the row set an incremental crawl round
+    feeds its frontier from. The plant varies BOTH axes per url: capture
+    counts 4-6 (last_obs differs) and digest rollover periods 1-6 (tier
+    differs), so due/overdue are value-checked across the full grid. Same
+    one-Exchange shape as recrawl_priority (the lag window and the
+    summary agg share the url shuffle)."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    dd = F.col("doc_id")
+    hist = (
+        d.select(
+            dd,
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(4) + dd % 3).cast("int"))
+            ).alias("i_raw"),
+        )
+        .select(dd, F.col("i_raw").cast("long").alias("i"))
+        .select(
+            F.concat(
+                F.lit("https://h"), (dd % 13).cast("string"),
+                F.lit(".docs.example.com/d/"), dd.cast("string"),
+            ).alias("url"),
+            F.col("i").alias("obs_ts"),
+            F.md5(
+                F.concat(
+                    dd.cast("string"), F.lit(":"),
+                    F.expr("i div (1 + doc_id % 6)").cast("string"),
+                )
+            ).alias("digest"),
+        )
+    )
+    return webindex.revisit_plan(hist, now=8)
+
+
+@q(
     "temperature_mix",
     """
     WITH agg AS (SELECT lang AS source, count(*)::BIGINT AS n_docs
@@ -5902,7 +5980,8 @@ _VERIFY_FIRST: list[str] = [
     # quality_model_scores, corpus_export_manifest, doc_length_quantiles,
     # bpe_learn_merges, ann_pq_adc_topk, feed_seeds, robots_asof_policy,
     # range_join_events, conditional_refetch, politeness_schedule,
-    # focused_priority, epoch_shuffle, ann_pq_refined_topk, temperature_mix.
+    # focused_priority, epoch_shuffle, ann_pq_refined_topk, temperature_mix,
+    # revisit_plan.
 ]
 
 

@@ -196,6 +196,69 @@ def recrawl_priority(history: DataFrame, id_col: str = "url",
     )
 
 
+def revisit_plan(
+    history: DataFrame,
+    now: int,
+    id_col: str = "url",
+    ts_col: str = "obs_ts",
+    digest_col: str = "digest",
+    intervals: tuple[int, int, int] = (1, 4, 12),
+) -> DataFrame:
+    """Turn change-rate tiers into a concrete revisit SCHEDULE: per
+    resource, due = last_capture + tier interval (hot/warm/cold →
+    ``intervals``), and overdue = due ≤ now — the row set a crawl round
+    actually feeds its frontier from. This is the scheduling half of
+    incremental crawl composed end to end: recrawl_priority estimates the
+    change rate (Cho & Garcia-Molina), the tier maps to a revisit
+    interval, sitemap_staleness/conditional_refetch then decide what each
+    granted fetch costs. Time is in capture-sequence units here (the CDX
+    ts at production scale — same arithmetic).
+
+    Same single-shuffle shape as recrawl_priority — the lag window and
+    the (n_obs, n_changes, last_obs) agg share one Exchange(id); the
+    tier→interval map is a codegen CASE. Returns (url, tier, change_rate,
+    last_obs, interval, due, overdue)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    changed = (
+        F.when(F.lag(digest_col).over(w).isNull(), F.lit(0))
+        .when(F.col(digest_col) != F.lag(digest_col).over(w), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    agg = (
+        history.select(F.col(id_col), F.col(ts_col), changed.alias("_chg"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("_n_obs"),
+            F.sum("_chg").cast("int").alias("_n_changes"),
+            F.max(ts_col).cast("long").alias("last_obs"),
+        )
+    )
+    rate = F.when(
+        F.col("_n_obs") > 1,
+        F.col("_n_changes").cast("double") / (F.col("_n_obs") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    tier = (
+        F.when(rate >= 0.8, F.lit("hot"))
+        .when(rate >= 0.3, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    interval = (
+        F.when(tier == "hot", F.lit(intervals[0]))
+        .when(tier == "warm", F.lit(intervals[1]))
+        .otherwise(F.lit(intervals[2]))
+    ).cast("int")
+    due = (F.col("last_obs") + interval).cast("long")
+    return agg.select(
+        id_col,
+        tier.alias("tier"),
+        rate.alias("change_rate"),
+        "last_obs",
+        interval.alias("interval"),
+        due.alias("due"),
+        (due <= F.lit(int(now))).alias("overdue"),
+    )
+
+
 # ------------------------------------------------------ CDX sink + lookup
 
 def cdx_bucket_col(urlkey: Column, n_buckets: int) -> Column:

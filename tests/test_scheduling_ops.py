@@ -187,3 +187,34 @@ def test_temperature_quotas_remainder_ties_break_by_source(spark):
     out = {r.source: r.quota for r in
            temperature_quotas(df, "lang", budget=7, alpha=0.5).collect()}
     assert out == {"x": 4, "y": 3}
+
+
+# ---------------------------------------------------- revisit plan
+def test_revisit_plan_tiers_intervals_overdue(spark):
+    from spider_spark.webindex import revisit_plan
+
+    rows = (
+        # hot: digest changes every capture; last at 5 -> due 6, overdue@8
+        [("h", i, f"d{i}") for i in range(1, 6)]
+        # cold: never changes; last at 4 -> due 16, not overdue
+        + [("c", i, "same") for i in range(1, 5)]
+        # single capture: rate 0 -> cold
+        + [("s", 1, "x")]
+    )
+    hist = spark.createDataFrame(rows, "url string, obs_ts long, digest string")
+    out = {r.url: r for r in revisit_plan(hist, now=8).collect()}
+    assert out["h"].tier == "hot" and out["h"].interval == 1
+    assert (out["h"].due, out["h"].overdue) == (6, True)
+    assert out["c"].tier == "cold" and out["c"].due == 16 and not out["c"].overdue
+    assert out["s"].tier == "cold" and out["s"].change_rate == 0.0
+
+
+def test_revisit_plan_custom_intervals(spark):
+    from spider_spark.webindex import revisit_plan
+
+    hist = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "c")],
+        "url string, obs_ts long, digest string",
+    )
+    [r] = revisit_plan(hist, now=10, intervals=(2, 5, 9)).collect()
+    assert r.tier == "hot" and r.interval == 2 and r.due == 5 and r.overdue
