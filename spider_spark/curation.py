@@ -433,12 +433,17 @@ def temperature_quotas(
     realized sample is then stratified_sample with per-stratum k = quota
     (one corpus window), so the whole mix costs two shuffles end to end.
 
-    Cross-engine determinism caveat (oracle contract): alpha = 0.5 uses
-    sqrt, which IEEE 754 rounds correctly — bit-identical everywhere.
-    Arbitrary alpha goes through pow(), which libm does NOT guarantee
-    correctly rounded; quotas can differ by ±1 seat across engines at
-    razor-edge fractional ties. Value-level oracles should pin alpha=0.5;
-    production use may pass any alpha."""
+    Cross-engine determinism (oracle contract): alpha = 0.5 keeps every
+    per-domain weight bit-identical (sqrt is IEEE-correctly-rounded;
+    pow is libm-dependent), but the TOTAL Σ√n_d is a float sum whose
+    accumulation order the engines don't share, so p can differ in the
+    last ulp. Seats and fractional remainders are therefore rounded to
+    9 decimals BEFORE flooring/ranking on both engines — a seat flips
+    only if two domains' remainders (or a remainder and an integer
+    boundary) genuinely coincide within 1e-9, which a fixture controls
+    and real corpora make vanishingly unlikely; this is tolerance-by-
+    construction, not bit-exactness. Arbitrary alpha adds the pow()
+    divergence on top; value-level oracles should pin alpha=0.5."""
     if alpha == 0.5:
         weight = F.sqrt(F.col("n_docs").cast("double"))
     else:
@@ -448,9 +453,10 @@ def temperature_quotas(
     )
     w_all = Window.partitionBy()
     p = weight / F.sum(weight).over(w_all)
-    seats = p * F.lit(float(budget))
+    # round-before-floor/rank absorbs the sum-order ulp (see docstring)
+    seats = F.round(p * F.lit(float(budget)), 9)
     base = F.floor(seats).cast("long")
-    frac = seats - F.floor(seats)
+    frac = F.round(seats - F.floor(seats), 9)
     shorted = agg.select(
         "source", "n_docs", p.alias("p"), base.alias("_base"),
         frac.alias("_frac"),

@@ -309,10 +309,12 @@ def focused_priority(
     signal (here curation.quality_lr_score's classifier logit; the paper's
     is a text classifier too).
 
-    Returns (url, priority, best_parent_score, n_parents) for every link
-    TARGET with at least one scored parent; apply_priority consumes it
-    unchanged after ``priority`` is negated upstream (higher relevance ⇒
-    popped sooner, same convention as pagerank ranks).
+    Returns (url, rank, best_parent_score, n_parents) for every link
+    TARGET with at least one scored parent — ``rank`` is the damped
+    inherited relevance, in the same positive-higher-is-better convention
+    as pagerank/trustrank/opic ranks, so ``apply_priority`` consumes the
+    output unchanged (it negates rank into the frontier's ascending
+    pop-priority itself).
 
     Scale shape: one equi join links⋈scores on src (scores is per-CRAWLED-
     page — orders of magnitude smaller than the frontier — and broadcast-
@@ -335,7 +337,7 @@ def focused_priority(
         )
         .select(
             "url",
-            (F.col("best_parent_score") * F.lit(decay)).alias("priority"),
+            (F.col("best_parent_score") * F.lit(decay)).alias("rank"),
             "best_parent_score",
             "n_parents",
         )

@@ -5700,8 +5700,8 @@ def revisit_plan_q(spark, sf_dir):
     w AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wt FROM agg),
     p AS (SELECT source, n_docs, wt / sum(wt) OVER () AS p FROM w),
     s AS (SELECT source, n_docs, p,
-                 floor(p * 100)::BIGINT AS base,
-                 p * 100 - floor(p * 100) AS frac
+                 floor(round(p * 100, 9))::BIGINT AS base,
+                 round(round(p * 100, 9) - floor(round(p * 100, 9)), 9) AS frac
           FROM p),
     r AS (SELECT *, 100 - sum(base) OVER () AS leftover,
                  row_number() OVER (ORDER BY frac DESC, source) AS rn
@@ -5866,7 +5866,7 @@ def politeness_schedule(spark, sf_dir):
              ((doc_id * 37) % 101)::DOUBLE / 100.0 AS sc
       FROM documents)
     SELECT dst AS url,
-           max(sc) * 0.85 AS priority,
+           max(sc) * 0.85 AS rank,
            max(sc) AS best_parent_score,
            count(DISTINCT l.src) AS n_parents
     FROM l JOIN s ON l.src = s.src

@@ -161,7 +161,15 @@ def epoch_shuffle(
     global row_number. Hash uniformity bounds every bucket at ~n/B rows
     (B chosen ~ cluster cores × 4 at scale), so the only per-key window
     sees 1/B of the corpus and skew is structurally impossible — no salt
-    needed because the key is already a cryptographic hash."""
+    needed because the key is already a cryptographic hash.
+
+    The input lineage IS evaluated twice (histogram pass + rank pass),
+    deliberately uncached: at 10^10 rows the histogram pass is a
+    column-pruned scan + partial count (cheap), while persisting the
+    keyed corpus to make it single-pass would materialize the full
+    dataset to executor storage — strictly worse. Callers with an
+    expensive upstream lineage should persist BEFORE calling, where they
+    know what the lineage costs."""
     width = -(-HASH60_SPACE // n_buckets)  # ceil
     key = sample_hash_col(F.col(id_col), f"epoch:{seed}")
     # `div`, not `/`: float division loses integer precision above 2^53,

@@ -190,7 +190,6 @@ def bpe_encode(
     a closure broadcast is the right shape; per-row Python is not, and the
     regex pre-split already happened in codegen). Adds ``bpe_tokens``
     (array<string>) and ``n_bpe_tokens``."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ranked = {

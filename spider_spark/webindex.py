@@ -154,6 +154,43 @@ def score_traps(urls: DataFrame, url_col: str = "url") -> DataFrame:
 
 # ------------------------------------------------------- recrawl scheduling
 
+def _change_stats(history: DataFrame, id_col: str, ts_col: str,
+                  digest_col: str) -> DataFrame:
+    """Shared change-rate estimator behind recrawl_priority AND
+    revisit_plan — ONE definition of the Cho & Garcia-Molina naive
+    estimator and the 0.8/0.3 hot/warm thresholds, so the two operators
+    can never desynchronize on what 'hot' means. Returns
+    (id, n_obs, n_changes, last_obs, change_rate, tier); the lag window
+    and the summary agg share one Exchange(id)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    changed = (
+        F.when(F.lag(digest_col).over(w).isNull(), F.lit(0))
+        .when(F.col(digest_col) != F.lag(digest_col).over(w), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    agg = (
+        history.select(F.col(id_col), F.col(ts_col), changed.alias("_chg"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_obs"),
+            F.sum("_chg").cast("int").alias("n_changes"),
+            F.max(ts_col).cast("long").alias("last_obs"),
+        )
+    )
+    rate = F.when(
+        F.col("n_obs") > 1,
+        F.col("n_changes").cast("double") / (F.col("n_obs") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col, "n_obs", "n_changes", "last_obs",
+        rate.alias("change_rate"),
+        F.when(rate >= 0.8, F.lit("hot"))
+        .when(rate >= 0.3, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )
+
+
 def recrawl_priority(history: DataFrame, id_col: str = "url",
                      ts_col: str = "obs_ts", digest_col: str = "digest") -> DataFrame:
     """Change-rate estimation from capture history: for each resource,
@@ -167,32 +204,8 @@ def recrawl_priority(history: DataFrame, id_col: str = "url",
     which the CDX ts supplies, but the naive form is the standard first
     tier). One shuffle (partitionBy resource), history per resource is
     short — skew-free by construction."""
-    w = Window.partitionBy(id_col).orderBy(ts_col)
-    changed = (
-        F.when(F.lag(digest_col).over(w).isNull(), F.lit(0))
-        .when(F.col(digest_col) != F.lag(digest_col).over(w), F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    per_obs = history.select(
-        F.col(id_col), F.col(ts_col), changed.alias("changed")
-    )
-    agg = per_obs.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_obs"),
-        F.sum("changed").cast("int").alias("n_changes"),
-    )
-    rate = F.when(
-        F.col("n_obs") > 1,
-        F.col("n_changes").cast("double") / (F.col("n_obs") - 1).cast("double"),
-    ).otherwise(F.lit(0.0))
-    return agg.select(
-        id_col,
-        "n_obs",
-        "n_changes",
-        rate.alias("change_rate"),
-        F.when(rate >= 0.8, F.lit("hot"))
-        .when(rate >= 0.3, F.lit("warm"))
-        .otherwise(F.lit("cold"))
-        .alias("tier"),
+    return _change_stats(history, id_col, ts_col, digest_col).select(
+        id_col, "n_obs", "n_changes", "change_rate", "tier"
     )
 
 
@@ -214,44 +227,22 @@ def revisit_plan(
     granted fetch costs. Time is in capture-sequence units here (the CDX
     ts at production scale — same arithmetic).
 
-    Same single-shuffle shape as recrawl_priority — the lag window and
-    the (n_obs, n_changes, last_obs) agg share one Exchange(id); the
-    tier→interval map is a codegen CASE. Returns (url, tier, change_rate,
-    last_obs, interval, due, overdue)."""
-    w = Window.partitionBy(id_col).orderBy(ts_col)
-    changed = (
-        F.when(F.lag(digest_col).over(w).isNull(), F.lit(0))
-        .when(F.col(digest_col) != F.lag(digest_col).over(w), F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    agg = (
-        history.select(F.col(id_col), F.col(ts_col), changed.alias("_chg"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("_n_obs"),
-            F.sum("_chg").cast("int").alias("_n_changes"),
-            F.max(ts_col).cast("long").alias("last_obs"),
-        )
-    )
-    rate = F.when(
-        F.col("_n_obs") > 1,
-        F.col("_n_changes").cast("double") / (F.col("_n_obs") - 1).cast("double"),
-    ).otherwise(F.lit(0.0))
-    tier = (
-        F.when(rate >= 0.8, F.lit("hot"))
-        .when(rate >= 0.3, F.lit("warm"))
-        .otherwise(F.lit("cold"))
-    )
+    Same single-shuffle shape as recrawl_priority — both are projections
+    of the shared ``_change_stats`` estimator (one definition of the
+    tier thresholds), so the tiers here can never disagree with the
+    priority operator's; the tier→interval map is a codegen CASE.
+    Returns (url, tier, change_rate, last_obs, interval, due, overdue)."""
+    stats = _change_stats(history, id_col, ts_col, digest_col)
     interval = (
-        F.when(tier == "hot", F.lit(intervals[0]))
-        .when(tier == "warm", F.lit(intervals[1]))
+        F.when(F.col("tier") == "hot", F.lit(intervals[0]))
+        .when(F.col("tier") == "warm", F.lit(intervals[1]))
         .otherwise(F.lit(intervals[2]))
     ).cast("int")
     due = (F.col("last_obs") + interval).cast("long")
-    return agg.select(
+    return stats.select(
         id_col,
-        tier.alias("tier"),
-        rate.alias("change_rate"),
+        "tier",
+        "change_rate",
         "last_obs",
         interval.alias("interval"),
         due.alias("due"),

@@ -97,9 +97,30 @@ def test_focused_priority_argmax_inherit_and_distinct_parents(spark):
     # best parent wins; duplicate edges count one parent; unscored parent
     # (px) contributes nothing
     assert out["c"].best_parent_score == 0.9
-    assert out["c"].priority == 0.45
+    assert out["c"].rank == 0.45
     assert out["c"].n_parents == 2
-    assert out["d"].priority == 0.25 and out["d"].n_parents == 1
+    assert out["d"].rank == 0.25 and out["d"].n_parents == 1
+
+
+def test_focused_priority_composes_with_apply_priority(spark):
+    # the docstring contract: apply_priority consumes the output unchanged
+    # — ranks negate into the frontier's ascending pop-priority, so the
+    # best-scored target must end up popped FIRST (lowest priority value)
+    from spider_spark.pagerank import apply_priority
+
+    links = spark.createDataFrame(
+        [("p1", "a"), ("p2", "b")], "src string, dst string"
+    )
+    scores = spark.createDataFrame(
+        [("p1", 0.9), ("p2", 0.1)], "url string, score double"
+    )
+    frontier = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "url string, priority double"
+    )
+    ranks = focused_priority(links, scores, decay=0.5).select("url", "rank")
+    out = {r.url: r.priority for r in apply_priority(frontier, ranks).collect()}
+    assert out["a"] < out["b"] < out["c"]  # a: -0.45, b: -0.05, c: unranked 5.0
+    assert out["c"] == 5.0
 
 
 # ---------------------------------------------------- epoch shuffle
