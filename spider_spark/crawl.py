@@ -153,13 +153,37 @@ def crawl(
         if pagerank_fires:
             all_links = tables.read_appended(spark, workdir, "links", upto_round=rnd - 1)
             if all_links is not None:
+                ranks = None
                 if cfg.priority_source == "opic":
                     from spider_spark.pagerank import opic_cash
 
                     ranks = opic_cash(all_links, iters=cfg.pagerank_iters)
+                elif cfg.priority_source == "focused":
+                    # focused crawling (Chakrabarti WWW'99): frontier URLs
+                    # inherit the best linking page's quality logit, damped
+                    # one hop — the crawl steers toward on-topic regions.
+                    # Scores come from the items already extracted this
+                    # crawl (no extra fetch); one join + one agg per firing.
+                    from spider_spark.curation import quality_lr_score
+                    from spider_spark.pagerank import focused_priority
+
+                    all_items = tables.read_appended(
+                        spark, workdir, "items", upto_round=rnd - 1
+                    )
+                    if all_items is not None:
+                        scores = quality_lr_score(
+                            all_items.select("url", "text"), id_col="url"
+                        ).select(
+                            F.col("doc_id").alias("url"),
+                            F.col("quality_logit").alias("score"),
+                        )
+                        ranks = focused_priority(
+                            all_links, scores, decay=cfg.pagerank_alpha
+                        ).select("url", "rank")
                 else:
                     ranks = pagerank(all_links, cfg.pagerank_alpha, cfg.pagerank_iters)
-                frontier = apply_priority(frontier, ranks)
+                if ranks is not None:
+                    frontier = apply_priority(frontier, ranks)
 
         result: RoundResult = run_round(
             spark, frontier, pages, policy, rnd, round_cfg,

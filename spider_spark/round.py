@@ -61,9 +61,12 @@ class CrawlConfig:
     pagerank_every: int = 0     # 0 = off; reference cadence 1200s (master.py:15)
     priority_source: str = "pagerank"  # reprioritization signal when
                                        # pagerank_every fires: "pagerank"
-                                       # (reference parity) or "opic"
+                                       # (reference parity), "opic"
                                        # (damping-free cash propagation,
-                                       # Abiteboul WWW'03)
+                                       # Abiteboul WWW'03), or "focused"
+                                       # (quality-score propagation over
+                                       # crawled items, Chakrabarti WWW'99;
+                                       # decay = pagerank_alpha)
     pagerank_alpha: float = 0.9  # nx.pagerank(g, 0.9) (master.py:142)
     pagerank_iters: int = 10
     write_coalesce: int = 0     # >0: coalesce snapshot tables to N files —
@@ -144,7 +147,7 @@ class CrawlConfig:
         # Fail fast on mode typos: 'OPIC' or 'trustrank' silently falling
         # back to pagerank would misprioritize an entire crawl.
         _allowed = {
-            "priority_source": {"pagerank", "opic"},
+            "priority_source": {"pagerank", "opic", "focused"},
             "frontier_mode": {"cow", "mor"},
             "trap_scope": {"host", "domain"},
             "seq_mode": {"global", "per_host", "hash"},

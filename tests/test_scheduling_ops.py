@@ -239,3 +239,36 @@ def test_revisit_plan_custom_intervals(spark):
     )
     [r] = revisit_plan(hist, now=10, intervals=(2, 5, 9)).collect()
     assert r.tier == "hot" and r.interval == 2 and r.due == 5 and r.overdue
+
+
+def test_focused_in_crawl_loop(spark, tmp_path):
+    """priority_source='focused' drives the reprioritization hook end to
+    end: quality logits of already-extracted items propagate to frontier
+    children through the link graph."""
+    from spider_spark import corpus, tables
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+
+    pages_pd = corpus.make_pages(n_pages=120, n_hosts=6, seed=11)
+    seeds = list(zip(*(corpus.make_seeds(pages_pd)[c] for c in ("url", "depth"))))
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    wd = str(tmp_path / "wd")
+    s = crawl(spark, wd, pages, seeds, policy,
+              CrawlConfig(max_depth=3, max_rounds=8, pagerank_every=2,
+                          priority_source="focused"))
+    assert s.n_done > 0
+    fr = tables.read_table(spark, wd, tables.latest_round(wd), "frontier")
+    # reprioritized rows carry -decay*logit — fractional, unlike the
+    # integer depth-based defaults
+    assert fr.where("priority != cast(priority as int)").count() > 0
+
+
+def test_priority_source_focused_is_allowed_and_typo_rejected(spark):
+    import pytest as _pytest
+
+    from spider_spark.round import CrawlConfig
+
+    CrawlConfig(priority_source="focused")  # must not raise
+    with _pytest.raises(ValueError):
+        CrawlConfig(priority_source="FOCUSED")
