@@ -69,24 +69,41 @@ def _set_bits(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> None:
 
 
 def _apply_counters(arr, h, delta: int, k: int, m: int) -> None:
-    """Byte-wide counters saturating at 15 (4-bit semantics); element-wise
-    loop is duplicate-index-correct. Saturated counters are never
-    decremented — preserves no-false-negative under deletion."""
+    """Byte-wide counters saturating at 15 (4-bit semantics), fully
+    vectorized: per hash position, duplicate-index-correct accumulation in
+    a wide dtype (np.add.at), then one saturating clamp — identical to the
+    element-wise sequential semantics (increment: min(15, c+cnt);
+    decrement: counters AT 15 are frozen, others floor at 0 — saturated
+    counters are never decremented, preserving no-false-negative under
+    deletion). A per-element Python loop here cost k·n interpreter
+    iterations in the applyInPandas hot path (~7M/round at 10^6 urls)."""
     for idx in _positions(h, k, m):
+        wide = arr.astype(np.int16)
         if delta > 0:
-            for i in idx:
-                if arr[i] < 15:
-                    arr[i] += 1
+            np.add.at(wide, idx, 1)
+            np.minimum(wide, 15, out=wide)
+            arr[:] = wide.astype(np.uint8)
         else:
-            for i in idx:
-                if 0 < arr[i] < 15:
-                    arr[i] -= 1
+            frozen = arr == 15
+            np.subtract.at(wide, idx, 1)
+            np.maximum(wide, 0, out=wide)
+            out = wide.astype(np.uint8)
+            out[frozen] = 15
+            arr[:] = out
 
 
 def _test_bits(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> np.ndarray:
     out = np.ones(len(h), dtype=bool)
     for idx in _positions(h, k, m):
         out &= (arr[idx >> 3] >> (idx & 7)).astype(bool)
+    return out
+
+
+def _test_counters(arr: np.ndarray, h: np.ndarray, k: int, m: int) -> np.ndarray:
+    """Counting-filter membership: all k counters non-zero."""
+    out = np.ones(len(h), dtype=bool)
+    for idx in _positions(h, k, m):
+        out &= arr[idx] > 0
     return out
 
 
@@ -288,7 +305,10 @@ class SeenSet:
         )
 
     def split(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """candidates (must have ``url``) → (maybe_seen, definitely_new).
+        """candidates (must have ``url``, UNIQUE per row — the mark() probe
+        joins back on url, so a duplicated url fans out quadratically and
+        over-counts the telemetry; run_round's child agg guarantees this
+        upstream) → (maybe_seen, definitely_new).
 
         definitely_new rows can skip the exact anti-join entirely — that is
         the whole point of the filter at 10^10 scale."""
@@ -302,14 +322,23 @@ class CuckooSeen(SeenSet):
     """Deletion-capable seen-set segments (north_rule's cuckoo fallback).
 
     Same table contract and double-hashed positions as the Bloom variant,
-    but each position holds a 4-bit saturating counter instead of a bit —
+    but each position holds a saturating counter instead of a bit —
     i.e. a counting filter, the simplest of the cuckoo/counting family that
     supports ``remove()`` (frontier-eviction workflows: dropping a site,
     revoking robots consent). add = increment (saturate at 15; saturated
     counters are never decremented, preserving no-false-negative),
-    remove = decrement, membership = all counters non-zero. 4 bits/counter
-    ⇒ segments are 4× the Bloom bytes for the same fpp — the reason Bloom
-    stays the default for the pure-crawl path that never deletes.
+    remove = decrement of present-testing keys only, membership = all
+    counters non-zero. Counters use 4-BIT semantics but are STORED one
+    byte per slot (numpy-vectorizable layout) ⇒ segments are 8× the Bloom
+    bytes for the same fpp (nibble-packing would make it 4× at the cost of
+    shift/mask on every op) — the reason Bloom stays the default for the
+    pure-crawl path that never deletes.
+
+    Deletion contract (standard for counting filters): only remove keys
+    you actually added. removed() guards with a membership test — an
+    absent key is ignored instead of corrupting shared slots — but a false
+    positive (~fpp) can still decrement a colliding key's counters; the
+    exact anti-join downstream remains the correctness backstop.
     """
 
     def _segment_op(self, rows: DataFrame, delta: int) -> DataFrame:
@@ -317,6 +346,7 @@ class CuckooSeen(SeenSet):
         m0, k0 = self.m, self.k
         apply_fn = _apply_counters  # module fn: a bound method would drag
         # self (and its segments DataFrame → SparkContext) into the closure
+        test_fn = _test_counters
 
         def op(key, new_pdf, seg_pdf):
             if len(seg_pdf):
@@ -327,11 +357,31 @@ class CuckooSeen(SeenSet):
                 m, k = m0, k0
                 arr = np.zeros(m, dtype=np.uint8)
                 n = 0
+            n_delta = 0
             if len(new_pdf):
-                apply_fn(arr, new_pdf["url_hash"].to_numpy(), delta, k, m)
+                # batch-unique, mirroring the Bloom merged() guard: n_items
+                # drives the rebuild heuristic and must track distinct keys
+                h = np.unique(new_pdf["url_hash"].to_numpy())
+                present = test_fn(arr, h, k, m)
+                if delta > 0:
+                    # counters increment for EVERY add (multiset discipline
+                    # — skipping "already present" keys would let a later
+                    # deletion of a colliding key zero this key's counters:
+                    # the classic false-deletion hazard); n_items counts
+                    # only keys not already present (set accounting)
+                    apply_fn(arr, h, +1, k, m)
+                    n_delta = int((~present).sum())
+                else:
+                    # decrement ONLY keys that test present: removing an
+                    # absent key would steal counts from every key sharing
+                    # its slots. Residual risk is a real false positive
+                    # (~fpp), the documented counting-filter deletion
+                    # contract ("only remove what you added").
+                    apply_fn(arr, h[present], -1, k, m)
+                    n_delta = -int(present.sum())
             return pd.DataFrame(
                 {"bucket": [int(key[0])], "filter": [arr.tobytes()],
-                 "n_items": [max(0, n + delta * len(new_pdf))], "m": [m], "k": [k]}
+                 "n_items": [max(0, n + n_delta)], "m": [m], "k": [k]}
             )
 
         seg = (

@@ -148,7 +148,17 @@ def frontier_base_round(workdir: str | Path, round_no: int) -> int:
         raise FileNotFoundError(f"no manifest for round {round_no}")
     if "frontier" in m.get("tables", []):
         return round_no
-    return int(m["frontier_base"])
+    base = m.get("frontier_base")
+    if base is None:
+        # a vacuumed COW round: its full frontier was GC'd and, being COW,
+        # it never had a base pointer — fail with the real story instead
+        # of a bare KeyError
+        raise FileNotFoundError(
+            f"round {round_no}: snapshot holds no frontier table and no "
+            f"frontier_base pointer (vacuumed cow round?) — state at this "
+            f"round is no longer recoverable"
+        )
+    return int(base)
 
 
 def _mor_parts(
@@ -307,7 +317,14 @@ def vacuum(workdir: str | Path, keep: int = 2) -> dict:
             continue
         rd = _round_dir(workdir, r)
         m = read_manifest(workdir, r) or {}
-        doomed = [t for t in ("frontier", *MOR_TABLES) if (rd / t).exists()]
+        # seen_segments is the OTHER full-rewrite-per-round table (the
+        # Bloom/cuckoo seen set): only the latest round's copy is ever
+        # loaded, so superseded copies below the cutoff are dead weight —
+        # at the 10^10 design point ~12 GB per round of it
+        doomed = [
+            t for t in ("frontier", "seen_segments", *MOR_TABLES)
+            if (rd / t).exists()
+        ]
         for t in doomed:
             freed += sum(f.stat().st_size for f in (rd / t).rglob("*") if f.is_file())
             shutil.rmtree(rd / t)
@@ -315,7 +332,12 @@ def vacuum(workdir: str | Path, keep: int = 2) -> dict:
         if doomed:
             m["tables"] = [t for t in m.get("tables", []) if t not in doomed]
             m["vacuumed"] = True
-            (rd / "manifest.json").write_text(json.dumps(m))
+            # same tmp+rename commit discipline as write_snapshot: a crash
+            # mid-write must not leave a truncated manifest on a round
+            # that still counts as committed
+            tmp = rd / "manifest.json.tmp"
+            tmp.write_text(json.dumps(m))
+            tmp.rename(rd / "manifest.json")
     return {"deleted_dirs": deleted, "bytes_freed": freed, "cutoff": cutoff}
 
 
@@ -338,16 +360,21 @@ def read_appended(spark: SparkSession, workdir: str | Path, name: str,
     return spark.read.parquet(*paths)
 
 
+def _shard_hash(id_col: str):
+    from spider_spark.textops import hash60
+
+    return hash60(F.concat_ws(":", F.lit("shard"), F.col(id_col).cast("string")))
+
+
 def shard_assign(df: DataFrame, n_shards: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic shard assignment for corpus export: shard =
     pmod(hash60("shard:" || id), n_shards). Layout- and growth-stable
     (a document's shard never depends on what else is in the corpus or on
     cluster size — unlike spark_partition_id) and cross-engine exact via
-    the shared md5-prefix hash."""
-    from spider_spark.textops import hash60
-
-    h = hash60(F.concat_ws(":", F.lit("shard"), F.col(id_col).cast("string")))
-    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int")).withColumn("_shard_h", h)
+    the shared md5-prefix hash. Adds exactly one column, ``shard``."""
+    return df.withColumn(
+        "shard", F.pmod(_shard_hash(id_col), F.lit(n_shards)).cast("int")
+    )
 
 
 def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
@@ -379,18 +406,26 @@ def export_shards(df: DataFrame, path: str | Path, n_shards: int,
     (curate → pack/export), and the handoff contract to a trainer's data
     loader (shard files are stable across re-runs and cluster sizes).
 
-    Plan: ONE shuffle — repartition(n_shards, shard) routes each document
-    to exactly one writer task, sortWithinPartitions(_shard_h, id) fixes
-    the within-shard order (hash order: shuffle-stable, insertion-stable),
-    partitionBy(shard) gives one directory per shard. At 100 TB this is
-    the canonical write shape: no global sort, no driver involvement,
-    writer parallelism = n_shards. Returns the manifest DataFrame (computed
-    from the WRITTEN files, so the manifest audits the sink, not the plan)."""
+    Plan: ONE shuffle — repartitionByRange(n_shards, shard) routes shard
+    values to writer tasks ~1:1 (hash repartition on the shard key would
+    pmod-collide shard VALUES into tasks: ~1/e of writers empty, stragglers
+    writing 2-4 shards each — range partitioning on the already-uniform
+    0..n-1 key is the 1:1 routing the doc promises),
+    sortWithinPartitions(shard, _shard_h, id) fixes the within-shard order
+    (hash order: shuffle-stable, insertion-stable; leading shard key keeps
+    it correct even if a sampled range boundary puts two shards in one
+    task), partitionBy(shard) gives one directory per shard. At 100 TB
+    this is the canonical write shape: no global sort, no driver
+    involvement, writer parallelism = n_shards. Returns the manifest
+    DataFrame (computed from the WRITTEN files, so the manifest audits the
+    sink, not the plan)."""
     out = str(path)
-    sharded = shard_assign(df, n_shards, id_col)
+    sharded = shard_assign(df, n_shards, id_col).withColumn(
+        "_shard_h", _shard_hash(id_col)
+    )
     (
-        sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("_shard_h", id_col)
+        sharded.repartitionByRange(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_shard_h", id_col)
         .drop("_shard_h")
         .write.mode("overwrite")
         .partitionBy("shard")

@@ -161,3 +161,30 @@ def test_vacuum_retention(spark, inputs, tmp_path):
         assert s2.rounds_run == 0  # finished crawl: resume is a no-op
         # idempotent: second vacuum frees nothing more
         assert tables.vacuum(wd, keep=2)["deleted_dirs"] == 0
+
+
+def test_vacuum_gcs_seen_segments_and_reports_clear_error(spark, inputs, tmp_path):
+    """seen_segments is full-rewrite-per-round like the frontier: vacuum
+    must GC superseded copies; reading a vacuumed cow round's frontier
+    fails with a clear error, not a bare KeyError."""
+    import pytest as _pytest
+
+    wd = tmp_path / "wd"
+    cfg = CrawlConfig(max_depth=3, max_rounds=20, use_bloom=True, bloom_buckets=4)
+    s = _run(spark, wd, inputs, cfg)
+    assert s.rounds_run >= 4
+    rep = tables.vacuum(wd, keep=2)
+    assert rep["deleted_dirs"] > 0
+    for r in range(0, rep["cutoff"]):
+        rd = tables._round_dir(wd, r)
+        if not (rd / "manifest.json").exists():
+            continue
+        assert not (rd / "seen_segments").exists()
+        # vacuumed cow round: resolution fails with the real story
+        with _pytest.raises(FileNotFoundError, match="no longer recoverable"):
+            tables.frontier_base_round(wd, r)
+    # latest round's seen set still loads (resume path intact)
+    from spider_spark.seen import SeenSet
+
+    seg = SeenSet.load(spark, wd, s.last_round, n_buckets=4, fpp=0.01)
+    assert seg.segments.count() > 0

@@ -151,3 +151,30 @@ def test_cuckoo_overflow_rebuild_keeps_delete_semantics(spark):
     s.removed(gone).persist().count()
     _, new2 = s.split(gone)
     assert new2.count() >= 4
+
+
+def test_remove_absent_url_does_not_corrupt_members(spark):
+    """The deletion guard: removing urls never added must not steal
+    counts from present members (present-test before decrement), and
+    duplicate rows within a removal batch decrement once."""
+    s = CuckooSeen(n_buckets=2, fpp=0.01, capacity_per_bucket=1 << 10)
+    members = _urls(spark, [f"https://m.x.com/p/{i}" for i in range(50)])
+    s.build(members).persist().count()
+    # remove a large batch of absent urls, each listed twice
+    absent = [f"https://ghost.y.com/q/{i}" for i in range(200)]
+    s.removed(_urls(spark, absent + absent)).persist().count()
+    maybe, new = s.split(members)
+    assert new.count() == 0  # members still all present
+    # n_items untouched by absent removals (modulo fp-rate collisions)
+    assert sum(n for _, n, _ in s.seg_stats()) >= 48
+
+
+def test_remove_batch_duplicates_decrement_once(spark):
+    s = CuckooSeen(n_buckets=2, fpp=0.01, capacity_per_bucket=1 << 10)
+    a = _urls(spark, ["https://a.x.com/1", "https://a.x.com/2"])
+    s.build(a).persist().count()
+    # the same url listed 3x in one removal batch must not over-decrement
+    # n_items (batch is unique'd) — n_items floor is 1, not 0
+    tripled = _urls(spark, ["https://a.x.com/1"] * 3)
+    s.removed(tripled).persist().count()
+    assert sum(n for _, n, _ in s.seg_stats()) == 1
