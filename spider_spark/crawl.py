@@ -65,6 +65,16 @@ def crawl(
 
     start = tables.latest_round(workdir) if resume else None
     if start is None:
+        # fresh crawl into a used workdir: clear prior snapshots FIRST. A
+        # shorter fresh crawl would otherwise leave the old crawl's higher
+        # rounds in place — latest_round()/read_appended would then mix two
+        # crawls' data (resume picking the STALE frontier, items unioned
+        # across both) — silent corruption, not a theoretical edge.
+        snaps = Path(workdir) / "snapshots"
+        if snaps.exists():
+            import shutil
+
+            shutil.rmtree(snaps)
         if isinstance(seeds, DataFrame):
             frontier0 = seeds_frontier_df(seeds)  # distributed seed injection
         else:
@@ -255,7 +265,19 @@ def crawl(
             n_children = sum(
                 r["count"] for r in stat_rows if r["status"] == "__children"
             )
-            by_status = dict(prev_stats.get("by_status", {}))
+            if "by_status" in prev_stats:
+                by_status = dict(prev_stats["by_status"])
+            else:
+                # legacy/stripped manifest: probe the committed state once
+                # instead of silently rolling deltas forward from zero
+                # (which would make every count and the final CrawlSummary
+                # report post-resume deltas only) — same fallback the cow
+                # branch's partition-pruned probe provides
+                by_status = {
+                    r["status"]: r["count"]
+                    for r in tables.read_frontier_resolved(spark, workdir, rnd - 1)
+                    .groupBy("status").count().collect()
+                }
             n_touched = sum(upd_counts.values())
             for s in ("done", "failed", "denied"):
                 if upd_counts.get(s):
@@ -277,6 +299,11 @@ def crawl(
                     spark, workdir, rnd - 1,
                     result.updates, result.children, result.inlink_deltas,
                 )
+                if cfg.write_coalesce > 0:
+                    # tbls was coalesced before this branch ran — the
+                    # compacted frontier (the round's LARGEST table) must
+                    # honor the same file-count setting
+                    tbls["frontier"] = tbls["frontier"].coalesce(cfg.write_coalesce)
                 frontier_base = rnd
                 base_rows = sum(by_status.values())
                 delta_rows = 0

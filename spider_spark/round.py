@@ -32,7 +32,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -186,7 +186,19 @@ def seeds_frontier_df(seeds_df: DataFrame, round_no: int = 0) -> DataFrame:
         F.min("depth").alias("depth"), F.count(F.lit(1)).alias("inlink_count")
     )
     ranked = with_global_rank(agg, ["url"], "discovered_seq")
-    return ranked.select(
+    return _frontier_projection(
+        ranked, round_no, F.col("discovered_seq"), F.col("inlink_count")
+    )
+
+
+def _frontier_projection(df: DataFrame, round_no: int,
+                         seq_col: Column, inlink_col: Column) -> DataFrame:
+    """The canonical frontier row shape — the ONE definition of the
+    12-column schema (seed injection ×2 and child admission previously
+    carried three hand-synced copies; a frontier-schema change now edits
+    one place). ``df`` must carry url + depth; seq/inlink are caller
+    expressions."""
+    return df.select(
         "url",
         url_md5_col(F.col("url")).alias("url_md5"),
         url_hash_col(F.col("url")).alias("url_hash"),
@@ -195,8 +207,8 @@ def seeds_frontier_df(seeds_df: DataFrame, round_no: int = 0) -> DataFrame:
         F.lit("new").alias("status"),
         F.lit(round_no).alias("discovered_round"),
         F.lit(None).cast("int").alias("fetched_round"),
-        "discovered_seq",
-        "inlink_count",
+        seq_col.alias("discovered_seq"),
+        inlink_col.alias("inlink_count"),
         F.col("depth").cast("double").alias("priority"),
         F.lit(0).alias("attempt"),
     )
@@ -214,19 +226,8 @@ def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]], round_n
         (url, depth, seq, counts[url]) for url, (depth, seq) in seen.items()
     ]
     df = spark.createDataFrame(rows, "url string, depth int, discovered_seq long, inlink_count long")
-    return df.select(
-        "url",
-        url_md5_col(F.col("url")).alias("url_md5"),
-        url_hash_col(F.col("url")).alias("url_hash"),
-        host_col(F.col("url")).alias("host"),
-        "depth",
-        F.lit("new").alias("status"),
-        F.lit(round_no).alias("discovered_round"),
-        F.lit(None).cast("int").alias("fetched_round"),
-        "discovered_seq",
-        "inlink_count",
-        F.col("depth").cast("double").alias("priority"),
-        F.lit(0).alias("attempt"),
+    return _frontier_projection(
+        df, round_no, F.col("discovered_seq"), F.col("inlink_count")
     )
 
 
@@ -338,10 +339,16 @@ def budget_from_delay(policy: DataFrame, round_duration: float) -> DataFrame:
     non-negative budget keep it."""
     # crawl_delay <= 0 means "no delay" ⇒ the unlimited sentinel (-1); the
     # bare division would yield Infinity and CAST_OVERFLOW under ANSI
-    # (ADVICE r01).
+    # (ADVICE r01). Tiny positive delays (a hostile 'Crawl-delay: 1e-9')
+    # are clamped BEFORE the int cast — otherwise the cast overflows under
+    # ANSI, or wraps negative and accidentally grants the unlimited
+    # sentinel to the fastest-declared host.
     derived = F.when(
         F.col("crawl_delay") > 0,
-        F.floor(F.lit(round_duration) / F.col("crawl_delay")).cast("int"),
+        F.least(
+            F.floor(F.lit(round_duration) / F.col("crawl_delay")),
+            F.lit((1 << 31) - 1).cast("bigint"),
+        ).cast("int"),
     ).otherwise(F.lit(-1))
     return policy.withColumn(
         "host_budget",
@@ -412,8 +419,15 @@ def run_round(
     # escapes, and canonical_col deliberately lets unparseable crawl-wild
     # hrefs into the frontier raw — one such child must not crash the round
     # (ADVICE r01). Unparseable ⇒ path '/', i.e. subject to root rules.
+    # Rules match path AND query (RFC 9309 §2.2.2 matches the percent-
+    # encoded path-and-query; 'Disallow: /*?sessionid=*' must bind), the
+    # same everything-after-host string the parity model checks.
     path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    is_denied = R.denied_col(path, F.col("allow_rules"), F.col("deny_rules"))
+    query = F.try_parse_url(F.col("url"), F.lit("QUERY"))
+    pathq = F.when(
+        query.isNotNull() & (query != ""), F.concat(path, F.lit("?"), query)
+    ).otherwise(path)
+    is_denied = R.denied_col(pathq, F.col("allow_rules"), F.col("deny_rules"))
     denied_df = cand.where(is_denied).select("url", "attempt")
     eligible = cand.where(~is_denied)
 
@@ -493,11 +507,12 @@ def run_round(
     # --- dedup against the seen set: Bloom prefilter + exact anti-join -----
     marked = None
     if seen_mark is not None:
-        # one persisted probe pass yields both split halves AND the
-        # n_candidates/n_maybe/n_new telemetry counters without re-probing
-        marked = seen_mark(agg)
-        if cfg.bloom_telemetry:
-            marked = marked.persist()
+        # one persisted probe pass yields both split halves (and, with
+        # telemetry on, the n_candidates/n_maybe/n_new counters) without
+        # re-running the cogroup probe — the union below scans `marked`
+        # twice, so an unpersisted probe would execute the python-worker
+        # stage twice per round regardless of telemetry
+        marked = seen_mark(agg).persist()
         maybe_seen = marked.where(F.col("maybe")).drop("maybe")
         definitely_new = marked.where(~F.col("maybe")).drop("maybe")
         survivors = definitely_new.unionByName(
@@ -525,19 +540,10 @@ def run_round(
         )
     else:
         ranked = with_global_rank(new_flat, ["parent_seq", "pos"], "_rank")
-    new_children = ranked.select(
-        "url",
-        url_md5_col(F.col("url")).alias("url_md5"),
-        url_hash_col(F.col("url")).alias("url_hash"),
-        host_col(F.col("url")).alias("host"),
-        "depth",
-        F.lit("new").alias("status"),
-        F.lit(round_no).alias("discovered_round"),
-        F.lit(None).cast("int").alias("fetched_round"),
-        (F.lit(round_no << SEQ_ROUND_SHIFT) + F.col("_rank")).alias("discovered_seq"),
-        F.col("cnt").alias("inlink_count"),
-        F.col("depth").cast("double").alias("priority"),
-        F.lit(0).alias("attempt"),
+    new_children = _frontier_projection(
+        ranked, round_no,
+        F.lit(round_no << SEQ_ROUND_SHIFT) + F.col("_rank"),
+        F.col("cnt"),
     )
 
     # --- crawler-trap guard: URL-shape rejection (map-only) ---------------
@@ -702,7 +708,8 @@ def run_round(
             )
         )
         fetch_log = fetch_log.unionByName(bloom_log)
-        cached.append(marked)
+    if marked is not None:
+        cached.append(marked)  # persisted above regardless of telemetry
 
     return RoundResult(
         frontier=frontier_next, links=links, items=items, fetch_log=fetch_log,

@@ -181,3 +181,27 @@ def test_honor_meta_robots_gates_frontier_and_items(spark, tmp_path):
     assert fetched2 == {f"{H}/{p}" for p in "sabcde"}
     items2 = tables.read_appended(spark, wd2, "items")
     assert items2.count() == 6
+
+
+def test_fresh_crawl_clears_stale_snapshots(spark, tmp_path):
+    """A fresh (resume=False) crawl into a used workdir must not leave the
+    previous crawl's higher rounds behind: latest_round/read_appended
+    would otherwise mix two crawls' data."""
+    from spider_spark import corpus, tables
+    from spider_spark.crawl import crawl
+    from spider_spark.round import CrawlConfig
+
+    pages_pd = corpus.make_pages(n_pages=120, n_hosts=6, seed=7)
+    pages = spark.createDataFrame(pages_pd)
+    policy = spark.createDataFrame(corpus.make_host_policy(pages_pd))
+    seeds = list(zip(*(corpus.make_seeds(pages_pd)[c] for c in ("url", "depth"))))
+    wd = str(tmp_path / "wd")
+    s1 = crawl(spark, wd, pages, seeds, policy, CrawlConfig(max_depth=4, max_rounds=30))
+    assert s1.last_round >= 3
+    # shorter fresh crawl into the SAME workdir
+    s2 = crawl(spark, wd, pages, seeds[:1], policy,
+               CrawlConfig(max_depth=1, max_rounds=30))
+    assert s2.last_round < s1.last_round
+    assert tables.latest_round(wd) == s2.last_round  # stale rounds gone
+    items = tables.read_appended(spark, wd, "items")
+    assert items.count() == s2.n_done  # no mixing with crawl 1's items

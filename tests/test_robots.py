@@ -227,3 +227,33 @@ def test_crawl_enforces_wildcard_rules(spark, tmp_path):
         else:
             assert r["status"] != "denied", r["url"]
     assert seen_denied > 0
+
+
+def test_round_robots_matching_includes_query_string(spark):
+    """The engine's rule matching must see path AND query — the same
+    everything-after-host string robots_denied (the parity model) checks.
+    'Disallow: /*?sessionid=*' must bind; '/*.php$' must NOT deny a .php
+    url that carries a query (the $ anchor no longer terminates it)."""
+    from spider_spark.round import CrawlConfig, run_round, seeds_to_frontier
+
+    urls = [
+        "http://h.example.com/a?sessionid=1",   # denied by the query rule
+        "http://h.example.com/a",               # allowed (no query)
+        "http://h.example.com/x/file.php?q=1",  # allowed ($ anchor misses)
+        "http://h.example.com/x/file.php",      # denied by the $ rule
+    ]
+    frontier = seeds_to_frontier(spark, [(u, 0) for u in urls])
+    pages = spark.createDataFrame(
+        [(u, b"<html></html>") for u in urls], "url string, html binary"
+    )
+    policy = spark.createDataFrame(
+        [("h.example.com", -1, 0.0, ["/*?sessionid=*", "/*.php$"], [])],
+        "host string, host_budget int, crawl_delay double, "
+        "robots_deny array<string>, robots_allow array<string>",
+    )
+    res = run_round(spark, frontier, pages, policy, 1, CrawlConfig())
+    status = {r.url: r.status for r in res.frontier.collect()}
+    assert status["http://h.example.com/a?sessionid=1"] == "denied"
+    assert status["http://h.example.com/a"] == "done"
+    assert status["http://h.example.com/x/file.php?q=1"] == "done"
+    assert status["http://h.example.com/x/file.php"] == "denied"
