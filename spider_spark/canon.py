@@ -44,12 +44,25 @@ XXHASH_SEED = 42  # F.xxhash64 default seed
 # "other category" deviation from RFC 2396).
 _BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
 _BAD_ASCII = set('"<>[\\]^`{|}')
+# brackets are legal ONLY as an authority IP-literal (RFC 3986 §3.2.2) —
+# java.net.URI (and thus try_parse_url) accepts 'http://[::1]:8080/x'
+# (live-probed) while rejecting brackets anywhere else; mirror that
+# instead of blanket-banning '[' ']'
+_IPV6_AUTH = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/\[\]]*@)?\[[0-9A-Fa-f:.]+\]"
+)
 
 
 def _parseable(url: str) -> bool:
     if _BAD_ESCAPE.search(url):
         return False
-    for ch in url:
+    m = _IPV6_AUTH.match(url)
+    scan = (
+        url[: m.start()] + m.group(0).replace("[", "").replace("]", "")
+        + url[m.end():]
+        if m else url
+    )
+    for ch in scan:
         o = ord(ch)
         if o < 0x20 or 0x7F <= o <= 0x9F or ch in _BAD_ASCII:
             return False
@@ -126,13 +139,32 @@ def canonical_col(url: Column) -> Column:
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     query = F.try_parse_url(url, F.lit("QUERY"))
     base = F.concat(proto, F.lit("://"), auth, path)
-    out = F.when(query.isNotNull(), F.concat(base, F.lit("?"), query)).otherwise(base)
+    # empty query must behave like no query ('http://a/b?' → 'http://a/b'):
+    # python's `if p.query` is falsy on '', but try_parse_url returns ''
+    # (non-null) there — without the != '' guard the JVM canonical keeps
+    # the bare '?' and the seen-set key diverges from the parity model
+    out = F.when(
+        query.isNotNull() & (query != ""), F.concat(base, F.lit("?"), query)
+    ).otherwise(base)
     # malformed URLs pass through raw, matching canonicalize()
     return F.when(proto.isNull() | auth.isNull(), url).otherwise(out)
 
 
 def host_col(url: Column) -> Column:
-    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+    """Host extraction matching python ``host_of`` (urlsplit().hostname):
+    derived from AUTHORITY, not try_parse_url HOST — HOST goes through
+    java.net.URI, which returns NULL for RFC-questionable-but-crawl-real
+    hosts (underscores: 'a_b.com') and keeps IPv6 brackets ('[::1]'),
+    so robots/politeness joins keyed on host silently missed those hosts
+    and JVM- vs python-derived host columns disagreed. Authority → strip
+    userinfo → unbracket IPv6 / strip port; all codegen regex."""
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    hostport = F.regexp_replace(auth, "^[^@]*@", "")
+    host = F.when(
+        hostport.startswith("["),
+        F.regexp_extract(hostport, r"^\[([^\]]*)\]", 1),
+    ).otherwise(F.regexp_replace(hostport, ":[0-9]*$", ""))
+    return F.nullif(host, F.lit(""))
 
 
 def url_hash_col(url: Column) -> Column:

@@ -97,7 +97,13 @@ def run_model(
         claimable = []
         for e in pending:
             host = host_of(e.url) or ""
-            path = e.url.split(host, 1)[-1] if host else e.url
+            # path+query, fragment stripped — the SAME string the engine
+            # matches (round.py's pathq). Splitting on the lowercased host
+            # broke on uppercase hosts (no split → whole url) and left the
+            # port in ( ':8080/admin' never prefix-matches '/admin').
+            rest = e.url.split("://", 1)[-1]
+            i = rest.find("/")
+            path = (rest[i:] if i >= 0 else "/").split("#", 1)[0] or "/"
             if robots_denied(path, allow.get(host, []), deny.get(host, [])):
                 e.status = "denied"
             else:

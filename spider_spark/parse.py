@@ -104,13 +104,26 @@ def _decode_series(html: pd.Series) -> pd.Series:
     s = html.copy()
     if is_bytes.any():
         dec = html[is_bytes].str.decode("utf-8", errors="replace")
-        bad = dec.str.contains("�", regex=False)
+        # retry ONLY rows whose BYTES fail strict utf-8 — testing the
+        # decoded text for '�' would also trip on pages that legitimately
+        # CONTAIN a literal U+FFFD (common on crawl-wild pages whose
+        # upstream encoding was already broken) and mangle the whole page
+        # through the gb18030 retry
+        bad = html[is_bytes].map(lambda r: not _is_utf8(bytes(r)))
         if bad.any():
             dec.loc[bad] = html[is_bytes][bad].map(
                 lambda r: bytes(r).decode("gb18030", errors="replace")
             )
         s.loc[is_bytes] = dec
     return s
+
+
+def _is_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
 
 
 @pandas_udf(_PARSE_SCHEMA)
@@ -155,8 +168,16 @@ _JVM_QCC = {
 def _extract_or_null(s: Column, pattern: str) -> Column:
     """regexp_extract with python-re None semantics: NULL when the pattern
     does not match (builtin returns '' — indistinguishable from an empty
-    group match, which the parity model must distinguish)."""
-    return F.when(s.rlike(pattern), F.regexp_extract(s, pattern, 1))
+    group match, which the parity model must distinguish).
+
+    One full-document scan, not two: regexp_substr finds the first match
+    (NULL on miss — the null signal), then the group is re-extracted from
+    that SHORT matched substring (the pattern re-matches at its start, so
+    groups are identical). The previous rlike+regexp_extract form scanned
+    the whole html twice per field — 20 whole-page regex passes per row in
+    the crawl round's widest projection."""
+    m = F.regexp_substr(s, F.lit(pattern))
+    return F.when(m.isNotNull(), F.regexp_extract(m, pattern, 1))
 
 
 def parse_page_cols(html_str: Column) -> Column:
@@ -504,13 +525,20 @@ def robots_directives_udf():
 # scanner): a directive inside an HTML comment still matches — the DOM
 # UDF (robots_directives_udf) is the exact surface; this path trades that
 # edge for zero-Python codegen in the crawl hot loop.
+#: attribute names use (?<![\w-]) not \b: a plain word boundary also
+#: matches after '-', so data-name= / data-content= would satisfy \bname /
+#: \bcontent and a '<meta data-name="robots" ...>' would falsely gate the
+#: page. Directive tokens get the symmetric guard so 'x-nofollow' is not
+#: 'nofollow' (the DOM UDF's split()-token semantics).
 _META_RE = (
-    r'(?i)<meta(?=[^>]*\bname\s*=\s*["\']?robots\b)[^>]*'
-    r'\bcontent\s*=\s*'
-    r'(?:"[^"]*\b{tok}\b|\'[^\']*\b{tok}\b|[^"\'\s>]*\b{tok}\b)'
+    r'(?i)<meta(?=[^>]*(?<![\w-])name\s*=\s*["\']?robots\b)[^>]*'
+    r'(?<![\w-])content\s*=\s*'
+    r'(?:"[^"]*{tok}|\'[^\']*{tok}|[^"\'\s>]*{tok})'
 )
-META_NOINDEX_RE = _META_RE.format(tok="(?:noindex|none)")
-META_NOFOLLOW_RE = _META_RE.format(tok="(?:nofollow|none)")
+_TOK_NOINDEX = r"(?<![\w-])(?:noindex|none)(?![\w-])"
+_TOK_NOFOLLOW = r"(?<![\w-])(?:nofollow|none)(?![\w-])"
+META_NOINDEX_RE = _META_RE.format(tok=_TOK_NOINDEX)
+META_NOFOLLOW_RE = _META_RE.format(tok=_TOK_NOFOLLOW)
 
 
 def meta_noindex_col(html_str: Column) -> Column:
@@ -528,9 +556,10 @@ def meta_nofollow_col(html_str: Column) -> Column:
 # either way or bare) — the only tags the rel=nofollow microformat applies
 # to; link/base/frame hrefs are never nofollow-capable.
 NOFOLLOW_TAG_RE = (
-    r"(?i)<(?:a|area)\s[^>]*\brel\s*=\s*"
-    r"(?:\"[^\"]*\bnofollow\b[^\"]*\"|'[^']*\bnofollow\b[^']*'"
-    r"|[^\"'\s>]*\bnofollow\b[^\"'\s>]*)"
+    r"(?i)<(?:a|area)\s[^>]*(?<![\w-])rel\s*=\s*"
+    r"(?:\"[^\"]*(?<![\w-])nofollow(?![\w-])[^\"]*\""
+    r"|'[^']*(?<![\w-])nofollow(?![\w-])[^']*'"
+    r"|[^\"'\s>]*(?<![\w-])nofollow(?![\w-])[^\"'\s>]*)"
     r"[^>]*>"
 )
 

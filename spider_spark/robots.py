@@ -55,6 +55,10 @@ def parse_robots(body: str | None, agent: str = "spider") -> dict:
     mine: dict = {"allow": [], "deny": [], "delay": None}
     sitemaps: list[str] = []
     matched_any = False
+    if isinstance(body, (bytes, bytearray)):
+        # fetched bodies arrive binary in this engine (pages.html is
+        # BinaryType); RFC 9309 says UTF-8, replace on the crawl-wild rest
+        body = bytes(body).decode("utf-8", errors="replace")
     if body:
         agent_lc = agent.lower()
         cur: list[dict] = []          # groups the current rules apply to
@@ -216,6 +220,7 @@ _POLICY_SCHEMA = StructType([
     StructField("robots_allow", ArrayType(StringType()), True),
     StructField("robots_deny", ArrayType(StringType()), True),
     StructField("crawl_delay", DoubleType(), True),
+    StructField("sitemaps", ArrayType(StringType()), True),
 ])
 
 
@@ -224,7 +229,7 @@ def robots_policy_udf(agent: str = "spider"):
     def parse(body: pd.Series) -> pd.DataFrame:
         return pd.DataFrame(
             [parse_robots(b, agent) for b in body],
-            columns=["robots_allow", "robots_deny", "crawl_delay"],
+            columns=["robots_allow", "robots_deny", "crawl_delay", "sitemaps"],
         )
 
     return parse
@@ -238,7 +243,11 @@ def policy_from_robots(
     host_budget: int = -1,
 ) -> DataFrame:
     """(host, robots_txt) → the host_policy table crawl() consumes:
-    (host, crawl_delay, robots_allow, robots_deny, host_budget)."""
+    (host, crawl_delay, robots_allow, robots_deny, sitemaps, host_budget).
+    ``sitemaps`` carries the file's global Sitemap: URLs (RFC 9309 §2.3) —
+    the discovery input for sitemap.seeds_from_sitemaps; parse_robots
+    always extracted them, but earlier versions dropped them here, leaving
+    no DataFrame surface to reach them."""
     p = robots_policy_udf(agent)(F.col(body_col))
     return robots.select(
         F.col(host_col).alias("host"), p.alias("_p")
@@ -247,5 +256,6 @@ def policy_from_robots(
         F.col("_p.crawl_delay").alias("crawl_delay"),
         F.col("_p.robots_allow").alias("robots_allow"),
         F.col("_p.robots_deny").alias("robots_deny"),
+        F.col("_p.sitemaps").alias("sitemaps"),
         F.lit(host_budget).alias("host_budget"),
     )

@@ -228,3 +228,43 @@ def test_meta_robots_jvm_fast_path_attribute_variants(spark):
             '<a rel="nofollow" href="/no">n</a></body></html>'
         )).alias("l")).collect()[0]["l"]
     assert links == ["/up"]
+
+
+def test_meta_robots_ignores_data_prefixed_attributes(spark):
+    from pyspark.sql import functions as F
+
+    from spider_spark.parse import follow_links_col, meta_noindex_col
+
+    rows = [
+        ('<meta data-name="robots" content="noindex">', False),
+        ('<meta name="robots" data-content="noindex" content="index">', False),
+        ('<meta name="robots" content="noindex">', True),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
+    got = [r[0] for r in df.select(meta_noindex_col(F.col("html"))).collect()]
+    assert got == [want for _, want in rows]
+
+    # data-rel must not strip a followable link; x-nofollow is not nofollow
+    links = spark.createDataFrame(
+        [('<a data-rel="nofollow" href="/x">k</a>',),
+         ('<a rel="x-nofollow" href="/y">k</a>',),
+         ('<a rel="nofollow" href="/z">k</a>',)],
+        "html string",
+    )
+    out = [list(r[0]) for r in links.select(follow_links_col(F.col("html"))).collect()]
+    assert out == [["/x"], ["/y"], []]
+
+
+def test_decode_series_keeps_literal_replacement_char():
+    import pandas as pd
+
+    from spider_spark.parse import _decode_series
+
+    # valid UTF-8 containing a LITERAL U+FFFD must NOT be re-decoded as
+    # gb18030 (which would mangle the whole page); genuinely broken bytes
+    # still take the gb18030 retry
+    clean = "title � body".encode("utf-8")
+    gbk = "你好".encode("gb18030")
+    out = _decode_series(pd.Series([clean, gbk]))
+    assert out.iloc[0] == "title � body"
+    assert out.iloc[1] == "你好"
