@@ -217,19 +217,22 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
         if max_df is not None:
             hot = (
                 sh.groupBy("shingle")
-                .agg(F.count_distinct(id_col).alias("df"))
+                .agg(F.count_distinct("doc_id").alias("df"))
                 .where(F.col("df") > max_df)
                 .select("shingle")
             )
             sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if restrict_pairs is not None:
+        # sh's id column is ALWAYS 'doc_id' (shingle_table/shingle_rows
+        # rename) — referencing the caller's id_col here broke every
+        # non-default id_col call with an unresolved-column error
         cand_docs = (
-            restrict_pairs.select(F.col("a_id").alias(id_col))
-            .unionByName(restrict_pairs.select(F.col("b_id").alias(id_col)))
+            restrict_pairs.select(F.col("a_id").alias("doc_id"))
+            .unionByName(restrict_pairs.select(F.col("b_id").alias("doc_id")))
             .distinct()
         )
-        sh = sh.join(cand_docs, id_col, "left_semi").persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = sh.join(cand_docs, "doc_id", "left_semi").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if restrict_pairs is not None:
         # PAIR-FIRST intersection (see jaccard_pairs): candidates are
         # unordered, so normalize to a<b (both directions re-emerge from
@@ -242,18 +245,18 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
             F.least("a_id", "b_id").alias("a_id"),
             F.greatest("a_id", "b_id").alias("b_id"),
         ).distinct()
-        pa = norm.join(sh.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
+        pa = norm.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
         inter_lt = (
             pa.join(
-                sh.select(F.col(id_col).alias("b_id"), "shingle"),
+                sh.select(F.col("doc_id").alias("b_id"), "shingle"),
                 ["b_id", "shingle"],
             )
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
-        a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-        b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+        a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
         # |S(a) ∩ S(b)| is symmetric: join each unordered pair ONCE (a < b)
         # and emit the swapped direction afterwards — halves the join output
         # vs an a ≠ b theta join (measured 12.4 s → ~7 s at sf0.1)
@@ -277,7 +280,7 @@ def containment_pairs(docs: DataFrame, threshold: float, n: int = 3,
             )
         ).alias("p")
     ).select("p.a_id", "p.b_id", "p.inter")
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("na"))
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
     return (
         inter.join(sa, "a_id")
         .withColumn(
@@ -425,9 +428,17 @@ def minhash_lsh_pairs(
     cand = lsh_candidates(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
                           id_col=id_col, text_col=text_col, shingles=sh)
     # exact verify ONLY on candidate pairs — the full-corpus shingle join
-    # would redo the work LSH exists to avoid
-    return jaccard_pairs(docs, threshold, n, id_col, text_col,
-                         restrict_pairs=cand, shingles=sh)
+    # would redo the work LSH exists to avoid. The verified pair set is
+    # tiny; checkpoint it eagerly so the shingle/candidate caches can be
+    # RELEASED here — a per-batch driver (daily admissions) would
+    # otherwise accumulate every run's cached tables until executors
+    # spill (review finding: persisted intermediates were never freed).
+    out = jaccard_pairs(docs, threshold, n, id_col, text_col,
+                        restrict_pairs=cand, shingles=sh)
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    sh.unpersist()
+    return out
 
 
 def _band_keys_udf(n_hashes: int, n_bands: int):
@@ -497,6 +508,13 @@ def band_buckets(docs: DataFrame, n: int = 3, n_hashes: int = 128,
     else:
         ex = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col,
                           max_df=max_df, keep_empty=True)
+    # shingle-less docs (null sentinel) emit NO band rows: they have no
+    # min-hash, their similarity to anything under the shingle measure is
+    # 0, and a shared sentinel signature would funnel EVERY short/empty
+    # doc into one bucket per band — a quadratic candidate blowup in their
+    # count (10^5 empty bodies → ~10^10 candidate rows) that the exact
+    # verify then discards wholesale.
+    ex = ex.where(F.col("shingle").isNotNull())
     # one string hash per shingle; permutations rehash the 8-byte long
     exh = ex.select("doc_id", F.xxhash64(F.col("shingle")).alias("h"))
     if n_hashes <= 96:
@@ -666,8 +684,12 @@ def containment_pairs_lsh(docs: DataFrame, threshold: float, n: int = 3,
                       max_df=max_df, keep_empty=True).persist()
     cand = lsh_candidates(docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
                           id_col=id_col, text_col=text_col, shingles=sh)
-    return containment_pairs(docs, threshold, n, id_col, text_col,
-                             restrict_pairs=cand, shingles=sh)
+    out = containment_pairs(docs, threshold, n, id_col, text_col,
+                            restrict_pairs=cand, shingles=sh)
+    out = out.localCheckpoint(eager=True)  # free sh/cand caches (see
+    cand.unpersist()                       # minhash_lsh_pairs note)
+    sh.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ simhash
@@ -958,6 +980,7 @@ def connected_survivors(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh = (
             both.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -976,8 +999,22 @@ def connected_survivors(
         cur = labels.agg(F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
         cur_sum = (cur["s"], cur["n"])
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # label propagation advances ONE hop per iteration; a path-shaped
+        # dup graph (paginated supersets from containment dedup) can exceed
+        # max_iters, and returning the unconverged labels would silently
+        # keep duplicate documents. Fall back to star contraction —
+        # diameter-INDEPENDENT O(log²) rounds — instead of guessing.
+        from spider_spark.graph import connected_components
+
+        cc = connected_components(both, src="src", dst="dst")
+        edges.unpersist()
+        both.unpersist()
+        return cc.select(F.col("node").alias("doc_id"),
+                         F.col("rep").alias("survivor_id"))
     edges.unpersist()
     both.unpersist()
     return labels.select("doc_id", F.col("label").alias("survivor_id"))
@@ -1103,14 +1140,17 @@ def tfidf_cosine_pairs(
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     if max_df is not None:
         df = df.where(F.col("df") <= max_df)
-    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # n_docs, NOT n: rebinding the gram-size parameter `n` to a DataFrame
+    # mid-function was a shadowing trap one refactor away from a wrong-gram
+    # bug (and its column name collided with the crossJoin select)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     w = (
         tf.join(df, "term")  # inner join: capped terms leave the space
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
-            (F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))).alias("w"),
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias("w"),
         )
         .persist()  # fans out 3× (norms + both join sides) — one tokenize pass
     )
@@ -1285,8 +1325,11 @@ def decontaminate_bloom(
     grams = toks.withColumn(
         "_gh",
         F.transform(
+            # the SHARED cross-engine hash — an inline reimplementation
+            # here could silently diverge from the benchmark-side filter
+            # hash if hash60 ever changed
             textops.grams_col(F.col("_toks"), n),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            textops.hash60,
         ),
     )
     marked = grams.withColumn("_maybe", maybe_contaminated(F.col("_gh"))).persist()

@@ -4597,7 +4597,7 @@ def warc_dedup_roundtrip(spark, sf_dir):
     f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i, w FROM t),
-    m AS (SELECT doc_id, i FROM s WHERE w[i] = 'table' AND w[i+1] = 'value')
+    m AS (SELECT doc_id, i FROM s WHERE lower(w[i]) = 'table' AND lower(w[i+1]) = 'value')
     SELECT doc_id, count(*) AS n_hits, (min(i) - 1)::INT AS first_pos
     FROM m GROUP BY doc_id
     """,

@@ -37,10 +37,18 @@ def hash60_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------- tokenizing
+#: explicit whitespace class, NOT \s: Java's \s is [ \t\n\x0B\f\r] while
+#: RE2's (DuckDB) excludes \x0B — a crawled page containing a vertical tab
+#: would tokenize differently per engine and break every downstream
+#: bit-identical contract (shingles, Jaccard, fingerprints, phrase index).
+#: The same class must appear in the SQL twin (queries._SQL_TOKENS).
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens, empty strings dropped (matches DuckDB
-    regexp_split + list_filter)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    regexp_split + list_filter over the SAME explicit class)."""
+    return F.filter(F.split(text, WS_CLASS), lambda t: t != "")
 
 
 #: GPT-2-family pre-tokenizer split pattern (Radford et al. 2019, public),
@@ -174,6 +182,15 @@ def transliterate_udf(mapping: dict[str, str] | None = None):
         if x is None:
             return None
         if lazy_pinyin is not None:
+            # caller-injected overrides STILL win per character (the
+            # documented resolution order) — otherwise output silently
+            # differs between hosts with and without pypinyin, the exact
+            # nondeterminism the injected table exists to prevent
+            if mapping and any(ch in mapping for ch in x):
+                return "".join(
+                    mapping[ch] if ch in mapping else "".join(lazy_pinyin(ch))
+                    for ch in x
+                )
             return "".join(lazy_pinyin(x))
         return "".join(table.get(ch, ch) for ch in x)
 
@@ -342,7 +359,10 @@ def phrase_hits(docs: DataFrame, phrase: str, id_col: str = "doc_id",
     idx = positional_index(docs, id_col, text_col)
     votes = None
     for i, t in enumerate(terms):
-        part = idx.where(F.col("term") == t).select(
+        # search is case-INSENSITIVE: the query is lowercased above, so the
+        # index side must fold too — comparing raw terms silently returned
+        # zero hits for any phrase occurrence with uppercase letters
+        part = idx.where(F.lower(F.col("term")) == t).select(
             "doc_id", (F.col("pos") - i).alias("start"), F.lit(i).alias("slot")
         )
         votes = part if votes is None else votes.unionByName(part)

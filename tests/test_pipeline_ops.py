@@ -1159,3 +1159,40 @@ def test_export_shards_assignment_stable_under_growth(spark, tmp_path):
     a = {r["doc_id"]: r["shard"] for r in tbl.shard_assign(small, 8).collect()}
     b = {r["doc_id"]: r["shard"] for r in tbl.shard_assign(big, 8).collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_containment_pairs_custom_id_col(spark):
+    """sh's id column is always 'doc_id' internally; a caller id_col must
+    not leak into the post-shingle plan (review regression)."""
+    from spider_spark import dedup
+
+    rows = [(10, "a b c d e f g h"), (20, "a b c d e f g h i j k l m n")]
+    df = spark.createDataFrame(rows, "page_id long, body string")
+    out = dedup.containment_pairs(df, 0.9, 3, id_col="page_id", text_col="body")
+    got = {(r.a_id, r.b_id) for r in out.collect()}
+    assert (10, 20) in got  # doc 10's shingles all inside doc 20
+
+
+def test_connected_survivors_long_chain_converges(spark):
+    """A path-shaped dup graph longer than max_iters must still resolve to
+    ONE survivor (star-contraction fallback), not silently return
+    unconverged labels."""
+    from spider_spark.dedup import connected_survivors
+
+    chain = [(i, i + 1) for i in range(1, 30)]  # diameter 29
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    out = connected_survivors(pairs, max_iters=5)
+    survivors = {r.survivor_id for r in out.collect()}
+    assert survivors == {1}
+
+
+def test_phrase_hits_case_insensitive(spark):
+    from spider_spark import textops
+
+    docs = spark.createDataFrame(
+        [(1, "New York City is in New York"), (2, "new york")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.phrase_hits(docs, "New York").collect()}
+    assert out[1].n_hits == 2 and out[1].first_pos == 0
+    assert out[2].n_hits == 1
