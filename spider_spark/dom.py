@@ -224,7 +224,8 @@ _PRED_ATTR = re.compile(r"@([A-Za-z][A-Za-z0-9:_-]*)$")
 _PRED_CONTAINS = re.compile(
     r"contains\(\s*(text\(\)|@[A-Za-z][A-Za-z0-9:_-]*|\.)\s*,\s*" + _STR + r"\s*\)$"
 )
-_PRED_TEXT_EQ = re.compile(r"(?:text\(\)|\.)\s*=\s*" + _STR + r"$")
+_PRED_TEXT_EQ = re.compile(r"text\(\)\s*=\s*" + _STR + r"$")
+_PRED_DOT_EQ = re.compile(r"\.\s*=\s*" + _STR + r"$")
 _PRED_LAST = re.compile(r"last\(\)$")
 
 
@@ -251,6 +252,18 @@ class _Step:
         self.axis = axis
         self.test = test.lower() if not test.startswith("@") else test
         self.preds = _PRED_RE.findall(m.group("preds") or "")
+
+
+class _Hit:
+    """A text()/@attr result with source identity for node-set dedup:
+    key = (kind, owner element id, slot). Unwrapped to .value by
+    XPath.__call__ after the per-step dedup."""
+
+    __slots__ = ("key", "value")
+
+    def __init__(self, kind: str, owner: int, slot, value: str):
+        self.key = (kind, owner, slot)
+        self.value = value
 
 
 def _string_value(x: Node | str) -> str:
@@ -292,8 +305,22 @@ def _pred_filter(group: list, pred: str) -> list:
         ]
     m = _PRED_TEXT_EQ.match(pred)
     if m:
+        # node-set = string (XPath 1.0): true if ANY direct text node
+        # equals — not just the first (that's string(text()), i.e. the
+        # contains(text(), v) conversion above, which correctly keeps
+        # _first_text)
         val = _sv(m, 1)
-        return [n for n in group if isinstance(n, Node) and _first_text(n) == val]
+        return [
+            n for n in group
+            if isinstance(n, Node) and any(s == val for s in n.direct_texts())
+        ]
+    m = _PRED_DOT_EQ.match(pred)
+    if m:
+        # [.='v'] compares the node's full STRING-VALUE (all descendant
+        # text), matching contains(., v) above — _first_text returned ''
+        # whenever the first child was an element
+        val = _sv(m, 1)
+        return [n for n in group if _string_value(n) == val]
     raise ValueError(f"unsupported xpath predicate: [{pred}]")
 
 
@@ -312,7 +339,7 @@ class XPath:
         else:
             desc = False  # relative: './/a' handled via '.' self step
         # split on '/' but honour '//' separators
-        i, buf, seps = 0, [], []
+        i = 0
         parts: list[tuple[str, bool]] = []
         cur_desc = desc
         depth = 0
@@ -344,23 +371,56 @@ class XPath:
         ctx: list = [node]
         for step in self.steps:
             nxt: list = []
-            seen: set[int] = set()
+            seen: set = set()
             for c in ctx:
                 if not isinstance(c, Node):
                     continue
-                group = self._axis_candidates(c, step)
-                for pred in step.preds:
-                    group = _pred_filter(group, pred)
+                group = self._step_group(c, step)
                 for g in group:
-                    key = id(g)
                     if isinstance(g, Node):
+                        key = id(g)
                         if key not in seen:
                             seen.add(key)
                             nxt.append(g)
+                    elif isinstance(g, _Hit):
+                        # text()/@attr results carry source identity so a
+                        # value reached through NESTED contexts (e.g.
+                        # '//div//text()' with <div><div>..) emits once —
+                        # bare strings were duplicated per context before
+                        if g.key not in seen:
+                            seen.add(g.key)
+                            nxt.append(g.value)
                     else:
                         nxt.append(g)
             ctx = nxt
         return ctx
+
+    def _step_group(self, c: Node, step: _Step) -> list:
+        if (
+            (step.descendant or step.axis == "descendant")
+            and not step.test.startswith("@")
+            and step.test != "text()"
+            and any(p.strip().isdigit() or _PRED_LAST.match(p.strip())
+                    for p in step.preds)
+        ):
+            # positional predicate on a descendant step: '//span[1]'
+            # expands to descendant-or-self::node()/child::span[1] — the
+            # predicate binds PER PARENT, not over the flattened
+            # descendant set (lxml returns the first span child of EVERY
+            # parent; the flat filter returned one global node)
+            out = []
+            for parent in [c] + list(c.iter()):
+                sub = parent.element_children()
+                if step.test != "*":
+                    sub = [n for n in sub if n.tag == step.test]
+                for pred in step.preds:
+                    sub = _pred_filter(sub, pred)
+                out.extend(sub)
+            return out
+        group = self._axis_candidates(c, step)
+        for pred in step.preds:
+            group = _pred_filter(group, pred)
+        return group
 
     @staticmethod
     def _axis_candidates(c: Node, step: _Step) -> list:
@@ -382,20 +442,35 @@ class XPath:
             cands = c.element_children()
 
         if test == "text()":
-            if step.descendant:
-                out = []
-                for n in cands:
-                    out.extend(n.direct_texts())
-                return out
-            return c.direct_texts() if step.axis == "child" else [
-                t for n in cands for t in n.direct_texts()
+            if step.descendant or step.axis == "descendant":
+                # descendant-OR-SELF: './/text()' includes the context
+                # node's own direct text ('<div>hello<span>world</span>'
+                # previously lost 'hello'); cands is c.iter() (self excluded)
+                return [
+                    _Hit("t", id(n), i, s)
+                    for n in [c] + cands
+                    for i, s in enumerate(n.direct_texts())
+                ]
+            src = [c] if step.axis == "child" else cands
+            return [
+                _Hit("t", id(n), i, s)
+                for n in src
+                for i, s in enumerate(n.direct_texts())
             ]
         if test.startswith("@"):
             name = test[1:]
             if step.axis == "child" and not step.descendant:
                 v = c.attrs.get(name)
-                return [v] if v is not None else []
-            return [n.attrs.get(name) for n in cands if n.attrs.get(name) is not None]
+                return [_Hit("a", id(c), name, v)] if v is not None else []
+            if step.descendant or step.axis == "descendant":
+                nodes = [c] + [n for n in cands if n is not c]
+            else:
+                nodes = cands
+            return [
+                _Hit("a", id(n), name, n.attrs[name])
+                for n in nodes
+                if n.attrs.get(name) is not None
+            ]
         if test == "*":
             return cands
         return [n for n in cands if n.tag == test]
@@ -411,7 +486,7 @@ _CSS_TOKEN = re.compile(
     (?P<tag>\*|[A-Za-z][A-Za-z0-9_-]*)
     | \.(?P<cls>[A-Za-z0-9_-]+)
     | \#(?P<id>[A-Za-z0-9_-]+)
-    | \[(?P<aname>[A-Za-z][A-Za-z0-9:_-]*)(?:=(?P<aq>"?)(?P<aval>[^\]"]*)(?P=aq))?\]
+    | \[(?P<aname>[A-Za-z][A-Za-z0-9:_-]*)(?:=(?P<aq>["']?)(?P<aval>[^\]"']*)(?P=aq))?\]
     | :(?P<pseudo>nth-child\(\d+\)|first-child|last-child)
     """,
     re.X,
@@ -563,17 +638,51 @@ def main_content(root: Node) -> Node | None:
     (nav/aside/footer/...) are excluded from every score. Ties break to
     the LAST candidate in document order (the deepest of nested equal
     scorers, since a parent precedes its child in iter())."""
+    # ONE post-order pass computes every node's (text, link) lengths
+    # bottom-up — re-walking each candidate's subtree (_text_and_link_len
+    # per candidate) revisits the same leaves O(depth) times, quadratic on
+    # crawl-wild nested-div soup inside the Arrow-batched UDF hot path.
+    lens: dict[int, tuple[int, int]] = {}
+
+    def measure(n: Node, in_link: bool) -> tuple[int, int]:
+        total = link = 0
+        for c in n.children:
+            if isinstance(c, str):
+                tl = len(" ".join(c.split()))
+                total += tl
+                if in_link:
+                    link += tl
+            elif c.tag not in NOISE_TAGS:
+                ct, cl = measure(c, in_link or c.tag == "a")
+                total += ct
+                link += cl
+        lens[id(n)] = (total, link)
+        return total, link
+
+    measure(root, root.tag == "a")
     best, best_score = None, 0.0
-    for n in root.iter():
+    for n in _iter_outside_noise(root):
         if n.tag not in CANDIDATE_TAGS:
             continue
-        t, l = _text_and_link_len(n)
+        t, l = lens.get(id(n), (0, 0))
         if t == 0:
             continue
         score = (t - l) * (1.0 - l / t)
         if score >= best_score:
             best, best_score = n, score
     return best
+
+
+def _iter_outside_noise(root: Node):
+    """Pre-order elements, PRUNING noise subtrees whole: a candidate div
+    nested inside <footer>/<nav>/... must never score (the old root.iter()
+    walk let a 3000-char footer boilerplate div outscore the article —
+    only the candidate's DESCENDANT noise was excluded, not its
+    ancestors)."""
+    for c in root.children:
+        if isinstance(c, Node) and c.tag not in NOISE_TAGS:
+            yield c
+            yield from _iter_outside_noise(c)
 
 
 def main_text(root: Node) -> str:

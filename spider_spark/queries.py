@@ -2971,7 +2971,10 @@ def ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 (correctness baseline for ANN): query side
     broadcast, corpus streamed, per-query window top-k."""
     e = T(spark, sf_dir, "embeddings")
-    return vectorops.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+    out = vectorops.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+    # rank-only output: the oracle compares ranks, not the cos doubles
+    # (list_cosine_similarity's fold order differs from dot_col's)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 @q(

@@ -301,3 +301,47 @@ def test_anchor_pairs_udf_edge_cases(spark):
         ("https://a.example.com/3", "unquoted"),
     ]
     assert rows[1].p is None
+
+
+# -------- review-fix regressions: lxml semantics edges -------------------
+def test_descendant_text_includes_self_and_dedups():
+    from spider_spark.dom import parse_html, xpath
+
+    r = parse_html("<html><body><div>hello<span>world</span></div></body></html>")
+    [d] = xpath(r, "//div")
+    assert xpath(d, ".//text()") == ["hello", "world"]
+    # nested contexts must not duplicate inner text nodes
+    r2 = parse_html("<html><body><div><div>a<span>b</span></div></div></body></html>")
+    assert xpath(r2, "//div//text()") == ["a", "b"]
+
+
+def test_descendant_positional_predicate_binds_per_parent():
+    from spider_spark.dom import parse_html, text_content, xpath
+
+    r = parse_html(
+        "<html><body><div><p><span>A</span></p><p><span>B</span></p></div></body></html>"
+    )
+    assert [text_content(n) for n in xpath(r, "//span[1]")] == ["A", "B"]
+
+
+def test_dot_equals_uses_string_value():
+    from spider_spark.dom import parse_html, text_content, xpath
+
+    r = parse_html("<html><body><td><b>Reg</b>Cap</td><td>X</td></body></html>")
+    assert [text_content(n) for n in xpath(r, '//td[.="RegCap"]')] == ["RegCap"]
+
+
+def test_css_attr_value_quote_styles():
+    from spider_spark.dom import css, parse_html, text_content
+
+    r = parse_html('<html><body><a target="_blank" href="/x">k</a></body></html>')
+    for sel in ("a[target='_blank']", 'a[target="_blank"]', "a[target=_blank]"):
+        assert [text_content(n) for n in css(r, sel)] == ["k"], sel
+
+
+def test_main_content_skips_noise_ancestors():
+    from spider_spark.dom import main_text, parse_html
+
+    h = ("<html><body><footer><div>" + "legal " * 600 + "</div></footer>"
+         "<article>" + "body " * 200 + "</article></body></html>")
+    assert main_text(parse_html(h)).startswith("body")
