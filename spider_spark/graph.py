@@ -86,11 +86,10 @@ def connected_components(
             sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
             .distinct()
         )
         # large-star output is (bigger, smaller)-oriented by construction:
-        # emitted (v, m) has m ≤ u < v.
+        # emitted (v, m) has m ≤ u < v — no self-pair filter needed.
         # ---- small-star: every node points its smaller neighbourhood
         # (and itself) at that neighbourhood's minimum.
         mn = ls.groupBy("u").agg(F.min("v").alias("m"))
@@ -237,7 +236,7 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     d, t = F.col("degree"), F.col("n_triangles")
-    return (
+    out = (
         deg.join(cnt, "node", "left")
         .select(
             "node",
@@ -252,6 +251,12 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+    # node-sized result: checkpoint eagerly so the und/deg caches can be
+    # RELEASED (they were previously persisted for the session's lifetime)
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    deg.unpersist()
+    return out
 
 
 def kcore(
@@ -259,7 +264,7 @@ def kcore(
     k: int = 3,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 100,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """(node, in_core, core_degree) — synchronous k-core peel over the
     undirected simple graph: every round removes ALL nodes of degree < k
@@ -281,8 +286,12 @@ def kcore(
     edge set only SHRINKS, so per-round cost is monotonically
     non-increasing. Convergence probe is an O(1)-byte edge count; each
     round's survivor set is localCheckpoint'ed (lazy) so the plan stays
-    flat at any peel depth — peel depth is the graph's degeneracy
-    ordering depth (tree height for tree-ish webs, ~log n), not O(n).
+    flat at any peel depth. Peel depth is hub-bounded (~log) on web-shaped
+    graphs but O(n) on CHAINS (a pagination chain peels 2 edges per
+    round), so the loop runs to the fixed point by default — the edge
+    count is monotone decreasing, so termination is guaranteed;
+    ``max_iters`` is an optional budget that raises instead of silently
+    returning unconverged cores.
     """
     cur = (
         edges.select(
@@ -302,7 +311,11 @@ def kcore(
     all_nodes.count()  # materialize BEFORE peeling mutates cur's lineage
 
     n_edges = cur.count()
-    for _ in range(max_iters):
+    rounds = 0
+    while True:
+        if max_iters is not None and rounds >= max_iters:
+            raise RuntimeError(f"k-core peel did not converge in {max_iters} rounds")
+        rounds += 1
         if n_edges == 0:
             break
         deg = (
@@ -322,8 +335,6 @@ def kcore(
         if n_nxt == n_edges:
             break
         cur, n_edges = nxt, n_nxt
-    else:
-        raise RuntimeError(f"k-core peel did not converge in {max_iters} rounds")
 
     core_deg = (
         cur.select(F.col("a").alias("node"))
@@ -331,8 +342,13 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
-    return all_nodes.join(core_deg, "node", "left").select(
+    out = all_nodes.join(core_deg, "node", "left").select(
         "node",
         F.col("core_degree").isNotNull().alias("in_core"),
         F.coalesce(F.col("core_degree"), F.lit(0)).cast("long").alias("core_degree"),
-    )
+    ).localCheckpoint(eager=True)
+    all_nodes.unpersist()
+    # free the initial edge snapshot's cache; intermediate peel rounds are
+    # lazy localCheckpoints (unpersist on a checkpointed frame is a no-op)
+    cur.unpersist()
+    return out

@@ -77,20 +77,26 @@ def asof_join(
     # side tag orders equal timestamps: inclusive → right first (0 < 1),
     # strict → right after left so an equal-ts right row is NOT visible.
     r_side, l_side = (1, 0) if strict else (0, 1)
+    # the right row is carried as ONE struct with a single
+    # last(ignorenulls) — per-COLUMN carries conflated a genuine NULL in a
+    # newer right row with the union placeholder and resurrected the
+    # previous row's value for that column, fabricating rows that mix
+    # columns from different right rows (review, probe-confirmed)
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(r_side).alias("_side"),
         F.monotonically_increasing_id().alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
+    r_struct_type = r_tagged.schema["_r"].dataType
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).cast(right.schema[right_ts].dataType).alias("_ts"),
         F.lit(l_side).alias("_side"),
         F.lit(0).cast("long").alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     w = (
@@ -99,17 +105,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r_tagged.unionByName(l_tagged).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in rcols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
     is_left = F.col("_side") == l_side
     return carried.where(is_left).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c != on],
         F.col(on),
-        *[F.col(f"_asof_{c}").alias(c) for c in rcols],
+        *[F.col("_asof")[c].alias(c) for c in rcols],
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_spark import tables
+from spider_spark.canon import host_col
 from spider_spark.crawl import crawl
 from spider_spark.round import CrawlConfig
 
@@ -61,12 +62,22 @@ def stream_crawl(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.select("url", "html").write.mode("append").parquet(str(corpus_dir))
-        pages = batch_df.sparkSession.read.parquet(str(corpus_dir))
-        resume = tables.latest_round(workdir) is not None
+        # foreachBatch is AT-LEAST-ONCE: a crash between the corpus append
+        # and the checkpoint commit replays the batch, and a plain append
+        # would duplicate every page. Write each batch to a batch_id-keyed
+        # subdirectory and skip when it already exists — the idempotent
+        # sink discipline foreachBatch requires for exactly-once effect.
+        batch_dir = corpus_dir / f"batch_id={batch_id}"
+        if not batch_dir.exists():
+            tmp = corpus_dir / f"_tmp_batch_{batch_id}"
+            batch_df.select("url", "html").write.mode("overwrite").parquet(str(tmp))
+            tmp.rename(batch_dir)  # atomic commit of the batch
+        pages = batch_df.sparkSession.read.parquet(str(corpus_dir / "batch_id=*"))
         from dataclasses import replace
 
-        prev = tables.latest_round(workdir) or 0
+        prev = tables.latest_round(workdir)
+        resume = prev is not None
+        prev = prev or 0
         crawl(
             batch_df.sparkSession, workdir, pages, seeds, policy,
             replace(cfg, max_rounds=prev + rounds_per_batch),
@@ -117,9 +128,10 @@ def stateful_host_progress(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(str(ingest_dir))
-    host = F.coalesce(
-        F.lower(F.try_parse_url("url", F.lit("HOST"))), F.lit("unknown")
-    ).alias("host")
+    # canon.host_col, not try_parse_url HOST: HOST nulls underscore hosts
+    # and keeps IPv6 brackets, silently misbucketing real hosts (and
+    # diverging from the batch engine's host keys)
+    host = F.coalesce(host_col(F.col("url")), F.lit("unknown")).alias("host")
 
     def update(key, pdfs, state):
         if state.exists:
@@ -195,9 +207,7 @@ def host_fetch_rates(
             # not abort the streaming query (a poison record would replay
             # from checkpoint forever — ADVICE r01). Null hosts bucket as
             # 'unknown' instead of killing the stream.
-            F.coalesce(
-                F.lower(F.try_parse_url("url", F.lit("HOST"))), F.lit("unknown")
-            ).alias("host"),
+            F.coalesce(host_col(F.col("url")), F.lit("unknown")).alias("host"),
         )
         .agg(F.count(F.lit(1)).alias("n_fetched"))
         .select(
@@ -227,14 +237,14 @@ def stream_first_wins_urls(
     compose: in-horizon exact streaming dedup, beyond-horizon engine
     dedup. Returns an unstarted streaming DataFrame.
     """
-    from spider_spark.canon import canonical_col
+    from spider_spark.canon import url_hash_col
 
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(str(ingest_dir))
     return (
-        stream.withColumn("url_hash", F.xxhash64(canonical_col(F.col("url"))))
+        stream.withColumn("url_hash", url_hash_col(F.col("url")))
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["url_hash"])
     )

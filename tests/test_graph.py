@@ -196,3 +196,15 @@ def test_kcore_duplicate_and_reversed_edges(spark):
     edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "c")]
     out = _kcore(spark, edges, k=2)
     assert out == {n: (True, 2) for n in "abc"}
+
+
+def test_kcore_long_chain_converges_to_fixpoint(spark):
+    """Chains peel 2 edges per round (O(n) depth): the default must run to
+    the fixed point, not crash on a legitimate pagination chain."""
+    from spider_spark.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], "src long, dst long"
+    )
+    out = kcore(edges, k=2)
+    assert all(not r.in_core for r in out.collect())  # a path has no 2-core

@@ -184,3 +184,19 @@ def test_asof_join_single_shuffle_no_pair_blowup(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_asof_join_carries_whole_row_not_per_column(spark):
+    """A genuine NULL in a newer right row must survive as NULL — the
+    per-column carry resurrected the older row's value, fabricating a row
+    that mixes columns from different right rows (review, probe-confirmed)."""
+    from spider_spark.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("h", 10, 1, None), ("h", 11, None, 2)],
+        "host string, snap_ts long, a int, b int",
+    )
+    left = spark.createDataFrame([("h", 12)], "host string, ts long")
+    [r] = asof_join(left, right, on="host", left_ts="ts",
+                    right_ts="snap_ts").collect()
+    assert (r.a, r.b) == (None, 2)  # the 11:00 row, exactly as stored
