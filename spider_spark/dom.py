@@ -187,6 +187,16 @@ class _TreeBuilder(HTMLParser):
         if data:
             self._append_text(data)
 
+    def handle_decl(self, decl: str) -> None:  # <!DOCTYPE ...>: not text
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        # CDATA sections carry CONTENT: '<![CDATA[x]]>' arrives here as
+        # 'CDATA[x' and was silently dropped — real RSS 2.0 feeds wrap
+        # titles AND links in CDATA, so feed ingestion lost entries whole
+        if data.startswith("CDATA["):
+            self._append_text(data[6:])
+
 
 def parse_html(html: str) -> Node:
     """Parse (possibly broken) HTML into a DOM; never raises on bad markup."""

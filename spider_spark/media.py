@@ -55,16 +55,21 @@ def extract_media_meta(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL payloads (failed fetches) become empty bytes so the
+            # metadata row still emits (len 0, crc of b'', decode error in
+            # the error column) — len(None) killed the python worker and
+            # aborted the job, violating the errors-become-data policy
+            body = pdf[payload_col].map(lambda b: b"" if b is None else bytes(b))
             out = {
                 "media_id": pdf[id_col].astype("int64"),
-                "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                "crc32": pdf[payload_col].map(zlib.crc32).astype("int64"),
-                "sha256_prefix": pdf[payload_col].map(
+                "n_bytes": body.map(len).astype("int64"),
+                "crc32": body.map(zlib.crc32).astype("int64"),
+                "sha256_prefix": body.map(
                     lambda b: hashlib.sha256(b).hexdigest()[:16]
                 ),
             }
             dims = {"width": [], "height": [], "format": [], "error": []}
-            for b in pdf[payload_col]:
+            for b in body:
                 try:
                     w, h, fmt = decoder(bytes(b))
                     dims["width"].append(w)
@@ -180,13 +185,14 @@ def resize_media(
 
 
 def frame_sample_plan(media: DataFrame, every_n: int,
-                      id_col: str = "media_id") -> DataFrame:
+                      id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
     """Video frame-sampling *plumbing*: expands each media row into frame
     tasks (media_id, frame_no) without decoding — the explode side of a
     decode that would run in the same mapInPandas slot. Deterministic frame
     count derives from payload length (real decoder would read container
     metadata)."""
-    n_frames = (F.octet_length(F.col("payload")) / F.lit(16)).cast("int") + 1
+    n_frames = (F.octet_length(F.col(payload_col)) / F.lit(16)).cast("int") + 1
     return media.select(
         F.col(id_col).alias("media_id"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),
@@ -224,6 +230,7 @@ def sniff_type_col(payload) -> "F.Column":
             (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
             & (F.substring(payload, 9, 4) == F.lit(b"WEBP")), "webp")
         .when(F.substring(payload, 5, 4) == F.lit(b"ftyp"), "mp4")
+        .when(hx.startswith("3C3F786D6C"), "xml")  # '<?xml' declaration
         .when(hx.startswith("3C"), "html")  # '<' first byte
         .otherwise("unknown")
     )
@@ -247,4 +254,10 @@ def type_mismatch_col(sniffed, declared_mime) -> "F.Column":
     expected = F.lit(None).cast("string")
     for k, v in sorted(MAGIC_MIME.items()):
         expected = F.when(sniffed == k, v).otherwise(expected)
-    return expected.isNotNull() & (expected != declared_mime)
+    # xml bytes ('<?xml') are honestly served under MANY mimes
+    # (application/xml, text/xml, +rss/+atom/+svg suffixes) — a single
+    # expected value flagged every honest XML response as a lying server
+    xml_ok = declared_mime.contains("xml")
+    return F.when(sniffed == "xml", ~xml_ok).otherwise(
+        expected.isNotNull() & (expected != declared_mime)
+    )

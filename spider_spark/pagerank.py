@@ -63,6 +63,10 @@ def pagerank(links: DataFrame, alpha: float = 0.9, iters: int = 10) -> DataFrame
         )
         ranks = ranks.localCheckpoint(eager=False)  # truncate iterative lineage
 
+    # materialize BEFORE unpersisting the inputs: the final lazy
+    # checkpoint otherwise recomputes the last hop from the raw links
+    # scan on the caller's first action (hits/opic already do this)
+    ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
     outdeg.unpersist()
     nodes.unpersist()
@@ -216,7 +220,8 @@ def trustrank(links: DataFrame, trusted: DataFrame,
         )
         ranks = ranks.localCheckpoint(eager=False)
 
-    edges.unpersist()
+    ranks = ranks.localCheckpoint(eager=True)  # see pagerank: materialize
+    edges.unpersist()                          # before freeing inputs
     base.unpersist()
     d_vec.unpersist()
     outdeg.unpersist()
@@ -224,12 +229,15 @@ def trustrank(links: DataFrame, trusted: DataFrame,
 
 
 def apply_priority(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
-    """MERGE ranks into frontier.priority (higher rank ⇒ popped sooner)."""
-    return (
-        frontier.join(ranks, "url", "left")
+    """MERGE ranks into frontier.priority (higher rank ⇒ popped sooner).
+    Output schema == frontier schema EXACTLY: rank tables may carry extra
+    columns (focused_priority's best_parent_score/n_parents), and leaking
+    them broke downstream unionByName/snapshot writes."""
+    merged = (
+        frontier.join(ranks.select("url", "rank"), "url", "left")
         .withColumn("priority", F.when(F.col("rank").isNotNull(), -F.col("rank")).otherwise(F.col("priority")))
-        .drop("rank")
     )
+    return merged.select(*frontier.columns)
 
 
 def opic_cash(links: DataFrame, iters: int = 5) -> DataFrame:

@@ -60,7 +60,14 @@ def refill(pool: DataFrame, source: DataFrame, cap: int) -> DataFrame:
     n = pool.count()
     if n >= cap:
         return pool
-    return add(pool, source.limit(cap - n))
+    # validate + dedup BEFORE the limit: limiting the raw source first let
+    # already-present or malformed rows consume the quota and under-fill
+    # the pool even when enough fresh valid proxies existed
+    valid = source.select("proxy").where(F.col("proxy").rlike(PROXY_RE)).distinct()
+    fresh = valid.join(pool.select("proxy"), "proxy", "left_anti")
+    return pool.unionByName(
+        fresh.limit(cap - n).withColumn("score", F.lit(INITIAL_SCORE))
+    )
 
 
 def top_batch(pool: DataFrame, start: int, stop: int) -> DataFrame:

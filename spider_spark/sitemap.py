@@ -25,8 +25,7 @@ _ENTRY = StructType([
     StructField("lastmod", StringType(), True),
 ])
 
-_URL_LOC = dom.XPath("//url/loc/text()")
-_URL_LASTMOD = dom.XPath("//url")
+_URL_NODES = dom.XPath("//url")
 _INDEX_LOC = dom.XPath("//sitemap/loc/text()")
 _LOC_OF = dom.XPath("loc/text()")
 _LASTMOD_OF = dom.XPath("lastmod/text()")
@@ -37,7 +36,7 @@ def _parse_one(raw) -> list[dict]:
         return []
     tree = dom.parse_html_bytes(raw)
     out: list[dict] = []
-    for u in dom.xpath(tree, "//url"):
+    for u in _URL_NODES(tree):
         loc = _LOC_OF(u)
         if not loc:
             continue
@@ -63,6 +62,8 @@ _FEED_ENTRY = StructType([
     StructField("published", StringType(), True),
 ])
 
+_ITEM_NODES = dom.XPath("//item")
+_ENTRY_NODES = dom.XPath("//entry")
 _ITEM_LINK = dom.XPath("link/text()")
 _ITEM_TITLE = dom.XPath("title/text()")
 _ITEM_PUB = dom.XPath("pubdate/text()")        # RSS 2.0 <pubDate>
@@ -105,7 +106,7 @@ def _parse_feed(raw) -> list[dict]:
         return []
     tree = dom.parse_html_bytes(raw)
     out: list[dict] = []
-    for node in dom.xpath(tree, "//item") + dom.xpath(tree, "//entry"):
+    for node in _ITEM_NODES(tree) + _ENTRY_NODES(tree):
         link = _item_link(node)
         if not link:
             continue

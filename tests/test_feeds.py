@@ -81,3 +81,20 @@ def test_seeds_from_feeds_dataframe(spark):
     assert all(r["depth"] == 2 for r in rows)
     assert rows[0]["published"] == "Mon, 04 Mar 2024 08:00:00 GMT"
     assert rows[1]["published"] == "2024-03-05T12:00:00Z"
+
+
+def test_feed_cdata_titles_and_links_survive():
+    """CDATA sections carry content in real RSS 2.0 — they were silently
+    dropped (CDATA titles became NULL, CDATA links lost the entry)."""
+    from spider_spark.sitemap import _parse_feed
+
+    rows = _parse_feed(
+        b"<rss><channel>"
+        b"<item><title><![CDATA[My Title]]></title>"
+        b"<link>https://ex.com/a</link></item>"
+        b"<item><link><![CDATA[https://ex.com/b]]></link>"
+        b"<title>t2</title></item>"
+        b"</channel></rss>"
+    )
+    got = {r["link"]: r["title"] for r in rows}
+    assert got == {"https://ex.com/a": "My Title", "https://ex.com/b": "t2"}
