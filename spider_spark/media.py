@@ -6,11 +6,12 @@ Spark-native shape is a ``binary`` payload column + typed metadata struct,
 processed in Arrow-batched ``mapInPandas`` so each task streams batches
 without materializing whole partitions.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is gated: ``decode_image`` raises NotImplementedError unless a
-deterministic fake decoder is injected. Everything Spark-side — schema,
-batch iteration, partitioning, UDF signatures — is real and tested; swapping
-in a real decoder changes one function.
+Image decode is REAL: the vendored pure-Python codec (imagecodec.py)
+handles PNG (full pixel decode/encode), GIF (LZW first frame), and JPEG
+dimensions, with no native library. Audio/video codecs are not in this
+container, so those stay behind the injectable decoder seam. Everything
+Spark-side — schema, batch iteration, partitioning, UDF signatures — is
+identical whichever decoder is injected.
 """
 
 from __future__ import annotations
@@ -30,8 +31,23 @@ MEDIA_META_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> tuple[int, int, str]:
-    """(width, height, format) — real decoder not available in this sandbox."""
-    raise NotImplementedError("image codec not installed; inject fake_decoder")
+    """(width, height, format) via the vendored pure-Python codec
+    (imagecodec.sniff_dims): real header decode for PNG/GIF/JPEG.
+    Unrecognized containers raise ValueError, which extract_media_meta
+    turns into an ``error`` row (errors-become-data policy). Remains an
+    injectable seam — deploys with native codecs pass their own."""
+    from spider_spark import imagecodec
+
+    return imagecodec.sniff_dims(payload)
+
+
+def real_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Pixel-true resize: decode (PNG/GIF) → nearest-neighbor → PNG
+    re-encode, via the vendored codec. Counterpart of fake_resizer for
+    payloads that are actual images."""
+    from spider_spark import imagecodec
+
+    return imagecodec.real_resizer(payload, out_w, out_h)
 
 
 def fake_decoder(payload: bytes) -> tuple[int, int, str]:

@@ -3125,6 +3125,106 @@ def media_frame_sample(spark, sf_dir):
     return plan.select("media_id", F.col("frame_no").cast("long").alias("frame_no"))
 
 
+def _plant_png_batches(it):
+    """Deterministic real-PNG payloads from doc_id alone: solid gray
+    (color = doc_id % 256) at w = 8 + doc_id % 24, h = 8 + 7*doc_id % 24 —
+    dims/color an ANSI-SQL oracle can restate, bytes a real codec must
+    actually decode."""
+    import numpy as np
+    import pandas as pd
+
+    from spider_spark import imagecodec
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            w = 8 + int(did) % 24
+            h = 8 + (int(did) * 7) % 24
+            c = int(did) % 256
+            payloads.append(imagecodec.png_encode(np.full((h, w), c, dtype=np.uint8)))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def _planted_media(spark, sf_dir) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_plant_png_batches, schema="media_id long, payload binary")
+
+
+@q(
+    "media_real_decode",
+    """
+    SELECT doc_id AS media_id,
+           (8 + doc_id % 24)::INT AS width,
+           (8 + (doc_id * 7) % 24)::INT AS height,
+           'png' AS format
+    FROM documents
+    """,
+)
+def media_real_decode(spark, sf_dir):
+    """REAL image decode through the default media pipeline (VERDICT r3
+    item 5): payloads are actual PNG bytes written by the vendored codec
+    (imagecodec.png_encode) and re-parsed by media.extract_media_meta's
+    default decoder (imagecodec.sniff_dims — no fake injected). The oracle
+    restates the planted dims from doc_id, so a decode that misreads IHDR
+    hash-mismatches. Map-only both stages (plant + decode share the scan's
+    partitioning; no shuffle)."""
+    meta = media.extract_media_meta(_planted_media(spark, sf_dir))
+    return meta.select("media_id", "width", "height", "format")
+
+
+@q(
+    "media_real_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 24 AS w,
+             8 + (doc_id * 7) % 24 AS h
+      FROM documents),
+    s AS (SELECT media_id, w, h,
+                 least(12.0 / w, 12.0 / h, 1.0) AS scale FROM m)
+    SELECT media_id,
+           greatest(1, floor(w * scale))::INT AS out_width,
+           greatest(1, floor(h * scale))::INT AS out_height,
+           (media_id % 256)::INT AS solid_color
+    FROM s
+    """,
+)
+def media_real_resize(spark, sf_dir):
+    """Pixel-true decode → nearest-neighbor resize → PNG re-encode →
+    re-decode, all with the vendored codec inside one Arrow-batched
+    mapInPandas (no shuffle; per-row working set is one thumbnail). The
+    re-decoded output must still be the planted solid color at the
+    fit-within dims — pinning filter reversal, resize indexing, and the
+    encoder, value-level, against SQL that never touches image bytes."""
+
+    def batches(it):
+        import pandas as pd
+
+        from spider_spark import imagecodec
+
+        for pdf in it:
+            rows = {"media_id": [], "out_width": [], "out_height": [], "solid_color": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                img = imagecodec.png_decode(bytes(b))
+                h, w = img.shape[:2]
+                scale = min(12 / w, 12 / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                out = imagecodec.png_decode(imagecodec.real_resizer(bytes(b), ow, oh))
+                assert out.shape[:2] == (oh, ow)
+                colors = set(out.reshape(-1).tolist())
+                rows["media_id"].append(int(mid))
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["solid_color"].append(colors.pop() if len(colors) == 1 else -1)
+            yield pd.DataFrame(rows)
+
+    return _planted_media(spark, sf_dir).mapInPandas(
+        batches, schema="media_id long, out_width int, out_height int, solid_color int"
+    )
+
+
 # =====================================================================
 # PageRank (§2.A A6) + the crawl itself
 # =====================================================================
@@ -5943,48 +6043,30 @@ def epoch_shuffle_q(spark, sf_dir):
 # =====================================================================
 # The correctness driver verifies the FIRST 50 registry entries per round.
 # Registration above follows the module's topical layout; the driver-facing
-# order is rotated here so queries with no driver-recorded verification yet
-# come first: round 2 appended 44 queries past the window (they were judged
-# green out-of-band but never landed in a CORRECTNESS_r*.json), plus
-# anchor_text_agg (r02's sole red row, fixed this round) and the flagship
-# crawl_docs / dedup_minhash_lsh / pagerank_ranks that slid out of r02's
-# window. Names listed but not registered are skipped (forward slots for
-# in-progress queries); everything else keeps its original relative order.
+# order is rotated here so queries with no green driver record yet come
+# first. Round-4 window: the 26 entries never checked in any
+# CORRECTNESS_r0{1,2,3}.json, plus ann_lsh_topk (its only driver record is
+# r01 `no_oracle`, before the value-level oracle existed), plus this
+# round's additions (media_real_decode / media_real_resize — the vendored
+# real image codec). Names listed but not registered are skipped;
+# everything else keeps its original relative order, so slots 30-50 fall
+# to the r01-verified topical head (q1/q3/q5, crawl_docs, dedup tier, …) —
+# refreshing the OLDEST green records rather than r03's fresh ones.
 _VERIFY_FIRST: list[str] = [
-    # --- never driver-verified (r01 ∪ r02 miss), original relative order ---
-    "corpus_keep_filter", "dedup_clusters", "cc_star_contraction",
-    "dedup_survivor_flags", "dedup_embedding_bucketed", "decontaminate_overlap",
-    "repetition_scores", "sample_hash_10pct", "sample_stratified_lang",
-    "pii_redact", "line_dedup_boilerplate", "split_assign", "nfc_normalize",
-    "domain_mix", "curate_corpus", "warc_roundtrip", "main_content_extract",
-    "lm_perplexity_scores", "ann_ivf_topk", "trustrank_scores", "hits_scores",
-    "surt_keys", "cdx_index", "url_trap_scores", "host_graph_rank",
-    "shingle_containment", "recrawl_priority", "cdx_lookup", "dsir_weights",
-    "redirect_resolve", "blocklist_gate", "content_sniff",
-    "registrable_domains", "fair_share_budgets", "mirror_hosts",
-    "content_seen_first", "canonical_collapse", "url_template_mining",
-    "meta_robots_gate", "warc_dedup_roundtrip", "phrase_search", "opic_scores",
-    "sitemap_staleness", "crawl_docs_rep",
-    # --- r02's one red row, fixed this round (array column serialized) ---
-    "anchor_text_agg",
-    # --- round-3 additions (registered below/this round) ---
-    "pool_probe_cycle", "containment_lsh", "media_resize",
-    "host_triangles", "bpe_token_counts",
-    # crawl_docs / dedup_minhash_lsh / pagerank_ranks yielded their slots
-    # to round-3 additions: all three are r01-green in the driver record
-    # and pinned by pytest + the crawl-parity fixtures, while the new
-    # operators have no driver record yet. crawl semantics stay inside the
-    # window via crawl_docs_rep (same engine path, full oracle).
-    # Queued for the r04 window (registered + sf0.01-oracle-green locally,
-    # window is exactly 50): media_frame_sample, host_kcore,
-    # cms_heavy_hitters, semdedup_flags, tfidf_sim_join,
-    # sample_weighted_length, vocab_oov_rate, pack_sequences,
-    # dedup_incremental, stream_window_rates, decontaminate_bloom_gate,
-    # quality_model_scores, corpus_export_manifest, doc_length_quantiles,
-    # bpe_learn_merges, ann_pq_adc_topk, feed_seeds, robots_asof_policy,
-    # range_join_events, conditional_refetch, politeness_schedule,
-    # focused_priority, epoch_shuffle, ann_pq_refined_topk, temperature_mix,
-    # revisit_plan.
+    # --- only driver record is a pre-oracle failure (r01 no_oracle) ---
+    "ann_lsh_topk",
+    # --- never driver-verified (r01 ∪ r02 ∪ r03 miss), relative order ---
+    "cms_heavy_hitters", "media_frame_sample", "host_kcore", "semdedup_flags",
+    "tfidf_sim_join", "sample_weighted_length", "vocab_oov_rate",
+    "pack_sequences", "dedup_incremental", "stream_window_rates",
+    "decontaminate_bloom_gate", "quality_model_scores",
+    "corpus_export_manifest", "doc_length_quantiles", "bpe_learn_merges",
+    "ann_pq_adc_topk", "ann_pq_refined_topk", "feed_seeds",
+    "robots_asof_policy", "range_join_events", "revisit_plan",
+    "temperature_mix", "conditional_refetch", "politeness_schedule",
+    "focused_priority", "epoch_shuffle",
+    # --- round-4 additions: real image codec, no driver record yet ---
+    "media_real_decode", "media_real_resize",
 ]
 
 

@@ -40,7 +40,8 @@ def test_media_meta_decode_error_becomes_data(spark, docs):
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
     out = media.extract_media_meta(m, decoder=media.decode_image).collect()
-    assert all(r.error is not None and "NotImplementedError" in r.error for r in out)
+    # utf-8 text is not an image container: real decoder rejects, row survives
+    assert all(r.error is not None and "ValueError" in r.error for r in out)
     assert all(r.n_bytes > 0 for r in out)  # stat columns still computed
 
 
@@ -77,8 +78,8 @@ def test_resize_media_gated_decoder_errors_become_data(spark, docs):
     m = docs.limit(4).select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
-    out = media.resize_media(m, 64, 64).collect()  # default decode_image gate
-    assert all(r.error is not None and "NotImplementedError" in r.error for r in out)
+    out = media.resize_media(m, 64, 64).collect()  # default real decoder
+    assert all(r.error is not None and "ValueError" in r.error for r in out)
     assert all(r.out_width is None and r.n_out_bytes is None for r in out)
 
 
