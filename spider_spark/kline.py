@@ -40,9 +40,16 @@ def rolling_min(value: Column, w: WindowSpec, n: int) -> Column:
 
 
 def crossover(fast: Column, slow: Column, w: WindowSpec) -> Column:
-    """F2 (Kline_analyze.py:136-139): 1 where fast>slow flips False→True
-    (gold cross), 2 on the True→False flip (dead cross), else 0."""
-    above = (fast > slow).cast("int")
+    """F2 (Kline_analyze.py:136-141): 1 where fast>slow flips False→True
+    (gold cross), 2 on the True→False flip (dead cross), else 0.
+
+    Warmup parity: the reference compares MA series with NaN warmups —
+    ``data['MA5'] > data['MA30']`` is **False** wherever either side is
+    NaN — so a gold cross legitimately fires at the first bar where the
+    slow MA becomes valid. Null comparisons therefore coalesce to 0
+    (round-4 review fix: the prior null-propagating form silently
+    swallowed that first-valid-bar flip)."""
+    above = F.coalesce((fast > slow).cast("int"), F.lit(0))
     prev = F.lag(above).over(w)
     return (
         F.when(prev.isNotNull() & (above == 1) & (prev == 0), F.lit(1))
@@ -52,13 +59,18 @@ def crossover(fast: Column, slow: Column, w: WindowSpec) -> Column:
 
 
 def true_range(high: Column, low: Column, close: Column, w: WindowSpec) -> Column:
-    """F3 (Kline_analyze.py:150-154): TR = max(high-low, |high-prev_close|,
-    |low-prev_close|); first row falls back to high-low."""
+    """F3 (Kline_analyze.py:150-154): TR = max(**close**-low,
+    |high-prev_close|, |low-prev_close|) — the reference's exact formula,
+    which deviates from the textbook high-low first term
+    (``max((df['close'][i] - df['low'][i]), ...)``). First row: pandas
+    shift() yields NaN and Python ``max(x, nan, nan)`` keeps x, so TR
+    falls back to close-low (round-4 review fix: this engine previously
+    shipped the textbook high-low variant, a silent parity break)."""
     prev_close = F.lag(close).over(w)
     return F.greatest(
-        high - low,
-        F.coalesce(F.abs(high - prev_close), high - low),
-        F.coalesce(F.abs(low - prev_close), high - low),
+        close - low,
+        F.coalesce(F.abs(high - prev_close), close - low),
+        F.coalesce(F.abs(low - prev_close), close - low),
     )
 
 

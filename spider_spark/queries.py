@@ -484,8 +484,8 @@ def rolling_minmax(spark, sf_dir):
     ),
     lagged AS (
       SELECT event_id, user_id,
-             CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END AS above,
-             lag(CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END)
+             CASE WHEN f > s THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN f > s THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM ma)
     SELECT event_id, user_id,
@@ -519,8 +519,8 @@ def crossover_signals(spark, sf_dir):
            FROM k
            WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                   w7 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
-    sg AS (SELECT *, CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END AS above,
-                  lag(CASE WHEN f > s THEN 1 WHEN f <= s THEN 0 END)
+    sg AS (SELECT *, CASE WHEN f > s THEN 1 ELSE 0 END AS above,
+                  lag(CASE WHEN f > s THEN 1 ELSE 0 END)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM ma),
     s2 AS (SELECT user_id, low, volume,
@@ -574,9 +574,9 @@ def gold_cross_volume(spark, sf_dir):
     WITH k AS (SELECT event_id, user_id, ts, value + 1 AS high, value - 1 AS low, value AS close FROM events),
     tr AS (
       SELECT event_id, user_id, ts,
-             greatest(high - low,
-                      coalesce(abs(high - lag(close) OVER w), high - low),
-                      coalesce(abs(low - lag(close) OVER w), high - low)) AS tr
+             greatest(close - low,
+                      coalesce(abs(high - lag(close) OVER w), close - low),
+                      coalesce(abs(low - lag(close) OVER w), close - low)) AS tr
       FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT event_id, user_id, round(tr, 6) AS tr,
            CASE WHEN count(*) OVER wr >= 5 THEN round(avg(tr) OVER wr, 6) END AS atr
