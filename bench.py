@@ -113,6 +113,8 @@ HEADLINE = [
     "politeness_schedule",   # round 3: per-host fetch-slot materialization
     "focused_priority",      # round 3: focused-crawl score propagation
     "epoch_shuffle",         # round 3: histogram-offset global shuffle index
+    "media_real_decode",     # round 4: vendored PNG codec, real header decode
+    "media_real_resize",     # round 4: pixel-true decode→resize→re-encode
 ]
 
 

@@ -45,6 +45,8 @@ __all__ = [
     "Node",
     "parse_html",
     "parse_html_bytes",
+    "decode_html_bytes",
+    "sniff_encoding",
     "text_content",
     "XPath",
     "CssSelector",
@@ -206,15 +208,59 @@ def parse_html(html: str) -> Node:
     return b.root
 
 
-def parse_html_bytes(raw: bytes | str) -> Node:
-    """Charset-tolerant entry: utf-8 first, gb18030 fallback — the
-    reference's double-decode (抖音/抖音.py:12 ``r.content.decode('gb18030')``;
-    everything else utf-8)."""
+# HTML5-style encoding prescan (the spec's "changing the encoding while
+# parsing" pre-step, simplified to the two families this engine ships):
+# only RECOGNIZED tokens bind — crawl-wild pages declare junk charsets
+# (the fixture corpus plants charset="x" decoys) and those must fall
+# through to the byte heuristic, not force a decode.
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,200}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-]{1,20})""", re.I
+)
+_GB_TOKENS = {"gb2312", "gb-2312", "gbk", "gb18030"}
+_UTF8_TOKENS = {"utf-8", "utf8"}
+
+
+def sniff_encoding(raw: bytes) -> str | None:
+    """BOM, then a 1024-byte <meta charset> prescan. None = no verdict."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        tok = m.group(1).decode("ascii", "replace").lower()
+        if tok in _GB_TOKENS:
+            return "gb18030"
+        if tok in _UTF8_TOKENS:
+            return "utf-8"
+    return None
+
+
+def decode_html_bytes(raw: bytes, charset: str | None = None) -> str:
+    """Bytes → text with the crawl decode policy: transport charset (the
+    caller's Content-Type knowledge) wins, then the prescan verdict, then
+    utf-8 with gb18030 fallback on real byte failures — the reference's
+    double-decode (抖音/抖音.py:12 ``r.content.decode('gb18030')``;
+    everything else utf-8). The prescan closes the mojibake hole the
+    round-4 fuzz sweep found: short gb18030 CJK runs can be VALID utf-8
+    bytes ('注' = D7 A2 → 'ע'), so a declared page no longer leans on the
+    byte heuristic. Undeclared ambiguous bytes keep utf-8 precedence —
+    that tie is undecidable without priors and utf-8 dominates the web."""
+    enc = charset or sniff_encoding(raw)
+    if enc in ("gb18030", "utf-16"):
+        return raw.decode(enc, errors="replace")
+    if enc == "utf-8":
+        return raw.decode("utf-8", errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("gb18030", errors="replace")
+
+
+def parse_html_bytes(raw: bytes | str, charset: str | None = None) -> Node:
+    """Charset-tolerant entry — see decode_html_bytes for the policy."""
     if isinstance(raw, (bytes, bytearray)):
-        try:
-            raw = raw.decode("utf-8")
-        except UnicodeDecodeError:
-            raw = bytes(raw).decode("gb18030", errors="replace")
+        raw = decode_html_bytes(bytes(raw), charset)
     return parse_html(raw)
 
 

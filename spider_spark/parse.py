@@ -97,19 +97,27 @@ _PARSE_SCHEMA = StructType(
 
 def _decode_series(html: pd.Series) -> pd.Series:
     """bytes → str, vectorized: one pandas .str.decode('utf-8') pass with a
-    per-row gb18030 retry only for rows that produced replacement chars —
-    the reference's double-decode shape (抖音/抖音.py:12 decodes gb18030,
-    everything else utf-8)."""
+    per-row gb18030 retry for rows whose bytes fail strict utf-8 OR whose
+    <meta charset> prescan declares a gb family — the reference's
+    double-decode shape (抖音/抖音.py:12 decodes gb18030, everything else
+    utf-8) plus the HTML5 prescan (dom.sniff_encoding) that catches short
+    gb18030 runs which are coincidentally VALID utf-8 bytes (round-4 fuzz
+    finding)."""
+    from spider_spark.dom import sniff_encoding
+
     is_bytes = html.map(lambda v: isinstance(v, (bytes, bytearray)))
     s = html.copy()
     if is_bytes.any():
         dec = html[is_bytes].str.decode("utf-8", errors="replace")
-        # retry ONLY rows whose BYTES fail strict utf-8 — testing the
-        # decoded text for '�' would also trip on pages that legitimately
-        # CONTAIN a literal U+FFFD (common on crawl-wild pages whose
-        # upstream encoding was already broken) and mangle the whole page
-        # through the gb18030 retry
-        bad = html[is_bytes].map(lambda r: not _is_utf8(bytes(r)))
+        # retry rows whose BYTES fail strict utf-8 — testing the decoded
+        # text for '�' would also trip on pages that legitimately CONTAIN
+        # a literal U+FFFD (common on crawl-wild pages whose upstream
+        # encoding was already broken) and mangle the whole page through
+        # the gb18030 retry — plus rows DECLARING a gb charset (the
+        # prescan only binds on recognized tokens; decoys fall through)
+        bad = html[is_bytes].map(
+            lambda r: not _is_utf8(bytes(r)) or sniff_encoding(bytes(r)) == "gb18030"
+        )
         if bad.any():
             dec.loc[bad] = html[is_bytes][bad].map(
                 lambda r: bytes(r).decode("gb18030", errors="replace")

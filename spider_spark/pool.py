@@ -18,26 +18,46 @@ from pyspark.sql.window import Window
 MIN_SCORE = 0
 INITIAL_SCORE = 10
 MAX_SCORE = 100
-PROXY_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}:\d{1,5}$"
+# db.py:26 ``re.match('\d+\.\d+\.\d+\.\d+\:\d+', proxy)``: PREFIX match
+# with unbounded digit runs — '1234.5.6.7:8' and '1.2.3.4:80/junk' both
+# pass in the reference, so they pass here (round-4 review fix: the prior
+# fully-anchored {1,3}-bounded pattern silently rejected what the
+# reference accepts).
+PROXY_RE = r"^\d+\.\d+\.\d+\.\d+:\d+"
 
 
 def add(pool: DataFrame, new: DataFrame) -> DataFrame:
-    """E1 (db.py:19-30): format-validate, insert only if absent, score 10."""
+    """E1 (db.py:19-30): format-validate, insert-if-absent at score 10 —
+    where "absent" is the reference's ``if not self.db.zscore(...)``:
+    zscore returns the score and **0 is falsy**, so a pooled proxy
+    sitting AT score 0 is re-added, i.e. its score resets to INITIAL
+    (round-4 review fix; the prior presence-only anti-join kept it at 0)."""
     valid = new.select("proxy").where(F.col("proxy").rlike(PROXY_RE)).distinct()
+    marked = pool.join(valid.withColumn("_readd", F.lit(True)), "proxy", "left")
+    kept = marked.select(
+        "proxy",
+        F.when(
+            F.col("_readd").isNotNull() & (F.col("score") == MIN_SCORE),
+            F.lit(INITIAL_SCORE),
+        ).otherwise(F.col("score")).alias("score"),
+    )
     fresh = valid.join(pool.select("proxy"), "proxy", "left_anti").withColumn(
         "score", F.lit(INITIAL_SCORE)
     )
-    return pool.unionByName(fresh)
+    return kept.unionByName(fresh)
 
 
 def decrease(pool: DataFrame, failed: DataFrame) -> DataFrame:
-    """E3 (db.py:47-59): score −1 on failure; evict when it falls BELOW
+    """E3 (db.py:47-59): score −1 per failure; evict when it falls BELOW
     MIN. The reference decrements while ``score > MIN_SCORE`` and zrems
     otherwise — so a failure at score 1 lands the proxy AT 0 and keeps
     it; only the next failure (score ≤ MIN at probe time) removes it.
     Post-decrement keep-if ``>= MIN`` reproduces exactly that: 1→0 kept,
-    0→−1 removed, untouched 0 kept."""
-    delta = failed.select("proxy").distinct().withColumn("_dec", F.lit(1))
+    0→−1 removed, untouched 0 kept. ``failed`` multiplicity counts: N
+    rows for one proxy decrement it N times, matching N sequential
+    decrease() calls (subtract-then-clamp crosses the eviction boundary
+    at most once, so the batched form is sequence-equivalent)."""
+    delta = failed.groupBy("proxy").agg(F.count(F.lit(1)).alias("_dec"))
     return (
         pool.join(delta, "proxy", "left")
         .select("proxy", (F.col("score") - F.coalesce(F.col("_dec"), F.lit(0))).alias("score"))
@@ -56,7 +76,14 @@ def promote(pool: DataFrame, ok: DataFrame) -> DataFrame:
 
 def refill(pool: DataFrame, source: DataFrame, cap: int) -> DataFrame:
     """E7 (getter.py:12-30): stop refilling when the pool is at capacity;
-    otherwise add() from the source crawlers, truncating to the cap."""
+    otherwise add() from the source crawlers, truncating to the cap.
+
+    Documented deviation: the reference checks POOL_UPPER_THRESHOLD once
+    at cycle start and then adds EVERY crawled proxy (it can overshoot
+    the cap within a cycle). Truncating at the cap is the bounded-
+    resource reading this engine keeps deliberately — at scale the
+    "source" is a dataframe of arbitrary size, and the cap is the
+    contract."""
     n = pool.count()
     if n >= cap:
         return pool
@@ -71,9 +98,12 @@ def refill(pool: DataFrame, source: DataFrame, cap: int) -> DataFrame:
 
 
 def top_batch(pool: DataFrame, start: int, stop: int) -> DataFrame:
-    """E5 (db.py:78-86): ranked range scan [start, stop) by descending score
-    (proxy asc tiebreak — zset lexicographic order analog)."""
-    w = Window.orderBy(F.desc("score"), F.asc("proxy"))
+    """E5 (db.py:78-86): ranked range scan [start, stop) by descending
+    score. Tiebreak: ZREVRANGE reverses ZRANGE's ascending-lexicographic
+    tie order, so equal scores come back member-DESCENDING (round-4
+    review fix: the asc tiebreak put different proxies inside a batch
+    boundary than Redis would)."""
+    w = Window.orderBy(F.desc("score"), F.desc("proxy"))
     return (
         pool.withColumn("rank", F.row_number().over(w))
         .where((F.col("rank") > start) & (F.col("rank") <= stop))
@@ -102,10 +132,12 @@ def pick_hash(pool: DataFrame, salt: str = "probe") -> DataFrame:
 
 def pick_random(pool: DataFrame, seed: int = 42) -> DataFrame:
     """E2 (db.py:32-45): prefer MAX_SCORE members; else random from the
-    top-100 by score; deterministic via seeded hash order (the reference's
-    random.choice is the only nondeterminism — seeded here)."""
+    top **101** by score — ``zrevrange(KEY, 0, 100)`` has an INCLUSIVE
+    stop index (round-4 review fix: was top-100). Deterministic via
+    seeded hash order (the reference's random.choice is the only
+    nondeterminism — seeded here)."""
     maxed = pool.where(F.col("score") == MAX_SCORE)
-    top = top_batch(pool, 0, 100).drop("rank")
+    top = top_batch(pool, 0, 101).drop("rank")
     pick_from = maxed if maxed.limit(1).count() > 0 else top
     return (
         pick_from.withColumn("_r", F.xxhash64(F.col("proxy"), F.lit(seed)))
@@ -135,8 +167,9 @@ def probe_cycle(pool: DataFrame, outcomes: DataFrame,
     (an unfinished cycle). The pool is a resource table (≤50k rows by the
     E7 cap), so the single global ranking window is driver-cheap, and the
     whole cycle is one window + one broadcast-sized join — no per-proxy
-    loop, no collect."""
-    w = Window.orderBy(F.desc("score"), F.asc("proxy"))
+    loop, no collect. Tie order member-desc per ZREVRANGE (see
+    top_batch)."""
+    w = Window.orderBy(F.desc("score"), F.desc("proxy"))
     ranked = pool.withColumn("rank", F.row_number().over(w))
     j = ranked.join(outcomes.select("proxy", "ok"), "proxy", "left")
     after = (

@@ -239,15 +239,59 @@ def test_fuzz_arbitrary_bytes_never_raise(raw):
 @given(document(), st.integers(0, 400))
 def test_fuzz_gb18030_mojibake(doc, cut):
     """gb18030-encoded documents truncated mid-multibyte-sequence must
-    parse without raising, and well-formed (uncut) gb18030 bytes must
-    decode to the identical text the str path produces."""
+    parse without raising. Decode-parity contract (the 10^4 sweep found
+    the original stronger form undecidable: '注' in gb18030 is D7 A2,
+    which is VALID utf-8 for 'ע'):
+    - bytes that are invalid utf-8 → gb18030 fallback gives parity;
+    - a declared <meta charset=gb*> gives parity even when the bytes are
+      coincidentally valid utf-8 (HTML5-style prescan);
+    - undeclared + valid-utf-8 bytes decode as utf-8 by documented
+      precedence.
+    """
+    from spider_spark.dom import decode_html_bytes
+
     enc = doc.encode("gb18030", errors="replace")
     parse_html_bytes(enc[: min(cut, len(enc))])  # never raises
     if not any(ord(ch) > 127 for ch in doc):
         return  # pure ASCII decodes as utf-8; gb18030 parity is trivial
-    whole = parse_html_bytes(enc)
     via_str = parse_html(enc.decode("gb18030"))
-    assert text_content(whole) == text_content(via_str)
+    declared = ('<meta charset="gb2312">' + doc).encode("gb18030", errors="replace")
+    via_meta = parse_html_bytes(declared)
+    assert text_content(via_meta) == text_content(
+        parse_html(declared.decode("gb18030")))
+    # transport charset always wins
+    assert decode_html_bytes(enc, charset="gb18030") == enc.decode("gb18030")
+    try:
+        enc.decode("utf-8")
+    except UnicodeDecodeError:
+        whole = parse_html_bytes(enc)  # invalid utf-8 → heuristic parity
+        assert text_content(whole) == text_content(via_str)
+
+
+def test_meta_prescan_tokens():
+    from spider_spark.dom import sniff_encoding
+
+    assert sniff_encoding('<meta charset="gb2312">'.encode()) == "gb18030"
+    assert sniff_encoding(b"<META CHARSET=GBK>") == "gb18030"
+    assert sniff_encoding(
+        b'<meta http-equiv="Content-Type" content="text/html; charset=gb18030">'
+    ) == "gb18030"
+    assert sniff_encoding(b'<meta charset="UTF-8">') == "utf-8"
+    assert sniff_encoding(b'<meta charset="x">') is None  # decoy ignored
+    assert sniff_encoding(b"\xef\xbb\xbfhello") == "utf-8"  # BOM
+    assert sniff_encoding(b"no meta here") is None
+    # declaration outside the 1024-byte prescan window is ignored
+    far = b" " * 1100 + b'<meta charset="gb2312">'
+    assert sniff_encoding(far) is None
+
+
+def test_declared_gb_beats_valid_utf8_bytes():
+    """The exact sweep counterexample, now decoded correctly when the
+    page declares its charset."""
+    payload = ('<meta charset="gb2312"><p>注</p>').encode("gb18030")
+    assert payload[-7:-4].decode("utf-8", "ignore") != "注"  # ambiguous bytes
+    root = parse_html_bytes(payload)
+    assert text_content(root) == "注"
 
 
 # ------------------------------------------------- pinned recovery cases

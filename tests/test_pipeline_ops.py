@@ -132,6 +132,59 @@ def test_pool_promote_and_evict(spark):
     assert out == {"a:1": 0, "b:2": 50, "c:3": pool.MAX_SCORE}
 
 
+def test_pool_add_readds_score_zero_like_zscore_falsy(spark):
+    """db.py:29 ``if not self.db.zscore(...)``: zscore returns the score
+    and 0 is falsy, so a pooled proxy AT score 0 is re-added → score
+    resets to INITIAL. Non-zero members are untouched."""
+    p0 = spark.createDataFrame(
+        [("1.2.3.4:80", 0), ("5.6.7.8:80", 7)], "proxy string, score int"
+    )
+    new = spark.createDataFrame(
+        [("1.2.3.4:80",), ("5.6.7.8:80",), ("9.9.9.9:81",)], "proxy string"
+    )
+    out = {r.proxy: r.score for r in pool.add(p0, new).collect()}
+    assert out == {
+        "1.2.3.4:80": pool.INITIAL_SCORE,  # 0 is falsy → re-added
+        "5.6.7.8:80": 7,
+        "9.9.9.9:81": pool.INITIAL_SCORE,
+    }
+
+
+def test_pool_regex_matches_reference_prefix_semantics(spark):
+    """db.py:26 ``re.match('\\d+\\.\\d+\\.\\d+\\.\\d+\\:\\d+', p)`` is a
+    PREFIX match with unbounded digit runs: overlong octets and trailing
+    junk pass; a missing port does not."""
+    p0 = spark.createDataFrame([], "proxy string, score int")
+    new = spark.createDataFrame(
+        [("1234.5.6.7:8",), ("1.2.3.4:80/junk",), ("1.2.3.4",), ("x1.2.3.4:80",)],
+        "proxy string",
+    )
+    got = {r.proxy for r in pool.add(p0, new).collect()}
+    assert got == {"1234.5.6.7:8", "1.2.3.4:80/junk"}
+
+
+def test_pool_decrease_counts_multiplicity(spark):
+    """N failure rows for one proxy ≡ N sequential decrease() calls."""
+    p0 = spark.createDataFrame(
+        [("a:1", 3), ("b:2", 2)], "proxy string, score int"
+    )
+    failed = spark.createDataFrame(
+        [("a:1",), ("a:1",), ("b:2",), ("b:2",), ("b:2",)], "proxy string"
+    )
+    out = {r.proxy: r.score for r in pool.decrease(p0, failed).collect()}
+    assert out == {"a:1": 1}  # b:2 crossed the eviction boundary
+
+
+def test_pool_top_batch_tiebreak_is_member_desc(spark):
+    """ZREVRANGE tie order: equal scores come back member-DESCENDING."""
+    p0 = spark.createDataFrame(
+        [("a:1", 50), ("b:2", 50), ("c:3", 50), ("d:4", 99)],
+        "proxy string, score int",
+    )
+    got = [r.proxy for r in pool.top_batch(p0, 0, 3).orderBy("rank").collect()]
+    assert got == ["d:4", "c:3", "b:2"]
+
+
 # --------------------------------------------------------------------- dedup
 def test_exact_dupes_survivor_is_min_id(spark, docs):
     d = docs.select("doc_id", "text")
