@@ -257,6 +257,10 @@ def absolutize_href_col(href: Column, base_url: Column) -> Column:
     dirp = F.when(dirp == "", F.lit("/")).otherwise(dirp)
     return (
         F.when(href.isNull(), F.lit(None).cast("string"))
+        # empty reference = same document (§5.3): base path + query, NOT
+        # the base directory the bare-relative branch would produce —
+        # '<a href="">' is crawl-common (round-4 review fix)
+        .when(href == "", base_nofrag)
         # any scheme-prefixed reference is absolute (RFC 3986 §4.3) —
         # https://, mailto:, tel:, javascript: all pass through untouched
         .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)

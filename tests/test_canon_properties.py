@@ -134,3 +134,37 @@ def test_registrable_domain_psl_rules(spark):
     got = {r["host"]: r["rd"] for r in df.select(
         "host", registrable_domain_col(F.col("host")).alias("rd")).collect()}
     assert got == cases
+
+
+def test_absolutize_matches_stdlib_urljoin(spark):
+    """Differential vs urllib.parse.urljoin (the independent model) over
+    the reference-resolution subset the engine claims (RFC 3986 §5 minus
+    dot-segment normalization — documented in absolutize_href_col)."""
+    from urllib.parse import urljoin
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.canon import absolutize_href_col
+
+    bases = [
+        "https://ex.com/a/b/c?q=1",
+        "https://ex.com/a/",
+        "http://ex.com",          # empty path
+        "https://u@ex.com:8443/p/x",
+    ]
+    hrefs = [
+        "", "d", "d/e.html", "/root.html", "//cdn.com/x.js",
+        "?page=2", "#frag", "https://other.com/abs", "mailto:a@b.c",
+        "img.png?s=1", "sub/",
+    ]
+    rows = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(rows, "base string, href string")
+    got = {(r.base, r.href): r.abs for r in df.select(
+        "base", "href",
+        absolutize_href_col(F.col("href"), F.col("base")).alias("abs")).collect()}
+    for b, h in rows:
+        expect = urljoin(b, h)
+        # urljoin strips the fragment-only same-doc marker differently:
+        # urljoin(base, '#f') keeps base?query#f — same as ours; and for
+        # empty href returns base minus fragment — same as ours.
+        assert got[(b, h)] == expect, (b, h, got[(b, h)], expect)
