@@ -124,8 +124,11 @@ def compile_rule(rule: str) -> dict:
 
     ``ln`` is the rule's octet length — §2.2.2 specificity (Google's
     open-sourced matcher counts the raw rule bytes, wildcards included).
+    Octets means utf-8 BYTES, not characters: a raw-CJK rule like '/中'
+    is 4 octets, and the byte count can flip a longest-match tie that
+    character count gets wrong (round-4 review fix).
     """
-    ln = len(rule)
+    ln = len(rule.encode("utf-8"))
     if "*" not in rule and not rule.endswith("$"):
         return {"prefix": rule, "re": None, "ln": ln}
     body, anchor = (rule[:-1], "$") if rule.endswith("$") else (rule, "")

@@ -31,9 +31,47 @@ _LOC_OF = dom.XPath("loc/text()")
 _LASTMOD_OF = dom.XPath("lastmod/text()")
 
 
+# sitemaps.org caps an uncompressed sitemap at 50 MB; anything claiming
+# more after gunzip is a decompression bomb, not a sitemap
+_MAX_SITEMAP_BYTES = 64 * 1024 * 1024
+
+
+def _gunzip_if_needed(raw):
+    """Transparent gunzip for .xml.gz sitemap/feed bodies (the protocol
+    explicitly allows gzip, and large sites serve nothing else). Bounded
+    decompression — a bomb yields None (row parses to []) rather than an
+    executor OOM."""
+    if isinstance(raw, (bytes, bytearray)) and bytes(raw[:2]) == b"\x1f\x8b":
+        import zlib
+
+        try:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out = d.decompress(bytes(raw), _MAX_SITEMAP_BYTES)
+            if d.unconsumed_tail:
+                return None  # exceeded the cap mid-stream
+            return out
+        except zlib.error:
+            return None
+    return raw
+
+
 def _parse_one(raw) -> list[dict]:
     if raw is None:
         return []
+    raw = _gunzip_if_needed(raw)
+    if raw is None:
+        return []
+    # plain-text sitemap (sitemaps.org "Text file" format): one absolute
+    # URL per line, no markup
+    head = bytes(raw[:256]) if isinstance(raw, (bytes, bytearray)) else raw[:256].encode()
+    if b"<" not in head:
+        text = (bytes(raw) if isinstance(raw, (bytes, bytearray)) else raw.encode())
+        text = text.decode("utf-8", errors="replace")
+        return [
+            {"kind": "url", "loc": line, "lastmod": None}
+            for line in (ln.strip() for ln in text.splitlines())
+            if line.startswith(("http://", "https://"))
+        ]
     tree = dom.parse_html_bytes(raw)
     out: list[dict] = []
     for u in _URL_NODES(tree):
@@ -102,6 +140,9 @@ def _parse_feed(raw) -> list[dict]:
     html.parser lowercases tag names, so <pubDate> arrives as ``pubdate``.
     Out-of-spec bodies yield [] rather than throwing — crawl-wild input.
     """
+    if raw is None:
+        return []
+    raw = _gunzip_if_needed(raw)
     if raw is None:
         return []
     tree = dom.parse_html_bytes(raw)

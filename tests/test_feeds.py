@@ -98,3 +98,44 @@ def test_feed_cdata_titles_and_links_survive():
     )
     got = {r["link"]: r["title"] for r in rows}
     assert got == {"https://ex.com/a": "My Title", "https://ex.com/b": "t2"}
+
+
+def test_gzipped_sitemap_and_text_sitemap(spark):
+    """sitemaps.org surface beyond XML urlsets: gzip-compressed bodies
+    (.xml.gz — how large sites actually serve them) and the plain-text
+    one-URL-per-line format. A decompression bomb over the 64 MB cap
+    parses to zero rows instead of OOMing the executor."""
+    import gzip
+
+    from spider_spark.sitemap import seeds_from_sitemaps
+
+    xml = (b"<?xml version='1.0'?><urlset>"
+           b"<url><loc>https://a.com/1</loc><lastmod>2024-01-01</lastmod></url>"
+           b"<url><loc>https://a.com/2</loc></url></urlset>")
+    gz = gzip.compress(xml)
+    txt = b"https://t.com/x\nnot-a-url\n  https://t.com/y  \n"
+    bomb = gzip.compress(b"\x00" * (70 * 1024 * 1024))
+    df = spark.createDataFrame(
+        [(bytearray(gz),), (bytearray(txt),), (bytearray(bomb),)],
+        "sitemap_xml binary",
+    )
+    rows = {r.url: r.lastmod for r in seeds_from_sitemaps(df).collect()}
+    assert rows == {
+        "https://a.com/1": "2024-01-01",
+        "https://a.com/2": None,
+        "https://t.com/x": None,
+        "https://t.com/y": None,
+    }
+
+
+def test_gzipped_feed(spark):
+    import gzip
+
+    from spider_spark.sitemap import seeds_from_feeds
+
+    rss = (b"<rss><channel><item><title>T</title>"
+           b"<link>https://n.com/a</link><pubDate>x</pubDate></item>"
+           b"</channel></rss>")
+    df = spark.createDataFrame([(bytearray(gzip.compress(rss)),)], "feed_xml binary")
+    out = seeds_from_feeds(df).collect()
+    assert len(out) == 1 and out[0].url == "https://n.com/a"

@@ -257,3 +257,17 @@ def test_round_robots_matching_includes_query_string(spark):
     assert status["http://h.example.com/a"] == "done"
     assert status["http://h.example.com/x/file.php?q=1"] == "done"
     assert status["http://h.example.com/x/file.php"] == "denied"
+
+
+def test_rule_specificity_counts_octets_not_characters():
+    """RFC 9309 §2.2.2 longest-match counts rule OCTETS (utf-8 bytes).
+    allow '/p/中' is 4 chars but 6 octets; deny '/p/*q$' is 6 of each.
+    Character counting says deny (6 > 4) — octet counting ties (6 == 6)
+    and the tie goes to allow, matching Google's open-source matcher."""
+    from spider_spark.robots import compile_rule, robots_denied
+
+    assert compile_rule("/p/中")["ln"] == 6
+    assert compile_rule("/p/*q$")["ln"] == 6
+    assert robots_denied("/p/中q", allow=["/p/中"], deny=["/p/*q$"]) is False
+    # and a strictly longer deny still wins
+    assert robots_denied("/p/中q", allow=["/p/"], deny=["/p/*q$"]) is True
