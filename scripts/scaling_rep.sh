@@ -19,7 +19,11 @@ export BENCH_PAGES="${BENCH_PAGES:-48000000}"
 export BENCH_SEEDS="${BENCH_SEEDS:-16000000}"
 export BENCH_ROUNDS="${BENCH_ROUNDS:-1}"
 export BENCH_FRONTIER_MODE="${BENCH_FRONTIER_MODE:-mor}"
-# take the slow shared /tmp disk out of shuffle + snapshot IO
+# take the slow shared /tmp disk out of shuffle + snapshot IO.
+# CLEAN FIRST: tmpfs pages count against host memory, and a crashed leg
+# orphans its shuffle dirs — 90+ GB of debris accumulated across reps
+# OOM-killed a later leg's JVM (round-4 rep G post-mortem)
+rm -rf /dev/shm/spark_local /dev/shm/spark_tmp
 mkdir -p /dev/shm/spark_local /dev/shm/spark_tmp
 export SPARK_LOCAL_DIRS=/dev/shm/spark_local
 export TMPDIR=/dev/shm/spark_tmp
