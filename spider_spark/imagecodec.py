@@ -373,15 +373,624 @@ def gif_encode(img_indices: np.ndarray, palette: np.ndarray,
     return bytes(out)
 
 
+# ============================================================ JPEG (baseline)
+#
+# Baseline sequential DCT JPEG per ITU-T T.81 (public spec): 8-bit samples,
+# huffman entropy coding, 1 (grayscale) or 3 (YCbCr, JFIF T.871 color
+# space) components, any sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0),
+# DRI/RSTn restart intervals. The encoder below is the non-circular fixture
+# writer (standard Annex K quant + huffman tables, forward DCT + rounding);
+# the decoder is the production path wired through decode_pixels.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 — reference luminance/chrominance quantization tables (natural
+# row-major order after un-zigzag).
+_QT_LUMA_K1 = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA_K2 = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 — typical huffman tables: (bits[1..16], values).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 DCT basis matrix: _DCT_C[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+# Forward: F = C @ f @ C.T ; inverse: f = C.T @ F @ C (orthonormal).
+_DCT_C = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)] for u in range(8)
+], dtype=np.float64)
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[bytes, int]]:
+    """T.81 Annex C code generation: value → (code bitstring length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_tables(bits: list[int], vals: list[int]):
+    """Per-length (mincode, maxcode, first value index) for canonical decode
+    (T.81 F.2.2.3 DECODE procedure)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (public libjpeg convention);
+    quality=0 means 'use the table as-is' (scale 100 keeps every entry)."""
+    if quality <= 0:
+        return table.copy()
+    q = min(100, max(1, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm (markers are not byte-stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
+
+
+def _mag_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, coef_zz: np.ndarray, pred: int,
+                  dc_tab, ac_tab) -> int:
+    """Huffman-encode one zigzagged quantized block; returns new DC pred."""
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    cat = _mag_category(diff)
+    ln, code = dc_tab[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat = _mag_category(v)
+        ln, code = ac_tab[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz != 63:
+        ln, code = ac_tab[0x00]  # EOB
+        bw.put(code, ln)
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Plane (hb*8, wb*8) float → per-block zigzagged quantized int coeffs
+    of shape (hb, wb, 64)."""
+    h, w = plane.shape
+    hb, wb = h // 8, w // 8
+    blocks = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
+    q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+    return q.reshape(hb, wb, 64)[..., _ZIGZAG]
+
+
+def _pad_replicate(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Edge-replicate a plane up to (h, w) (T.81 A.2.4 recommendation)."""
+    ph, pw = plane.shape
+    out = np.empty((h, w), dtype=plane.dtype)
+    out[:ph, :pw] = plane
+    if w > pw:
+        out[:ph, pw:] = plane[:, pw - 1 : pw]
+    if h > ph:
+        out[ph:, :] = out[ph - 1 : ph, :]
+    return out
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF (ITU T.871) full-range RGB → YCbCr, rounded to uint8 planes."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85,
+                subsampling: str = "4:2:0", restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline sequential JPEG
+    (JFIF header, Annex K.1 quant tables at IJG `quality`, Annex K.3
+    huffman tables; optional DRI/RSTn every `restart_interval` MCUs).
+    Fixture writer for jpeg_decode — shares only the T.81 spec with it
+    (independent DCT orientation, bit packing, MCU layout code paths)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _quality_scale(_QT_LUMA_K1, quality)
+    qt_c = _quality_scale(_QT_CHROMA_K2, quality)
+    if gray:
+        comps = [(1, 1, 1, 0)]  # (id, hs, vs, qt index)
+        planes = [img.astype(np.float64)]
+    else:
+        hs, vs = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsampling]
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, 0].astype(np.float64)]
+        for c in (1, 2):
+            p = ycc[:, :, c].astype(np.float64)
+            # pad to a multiple of the sampling factor, then box-average
+            p = _pad_replicate(p, -(-h // vs) * vs, -(-w // hs) * hs)
+            p = p.reshape(p.shape[0] // vs, vs, p.shape[1] // hs, hs).mean(axis=(1, 3))
+            planes.append(np.round(p))
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component: pad plane to MCU coverage, fdct+quant
+    coefs = []
+    for (cid, hs, vs, qi), plane in zip(comps, planes):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        plane = _pad_replicate(plane, ph, pw)
+        coefs.append(_fdct_quant(plane, qt_l if qi == 0 else qt_c))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for qi, qt in enumerate([qt_l] + ([qt_c] if not gray else [])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([qi])
+        out += bytes(int(x) for x in qt[_ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * len(comps)) + bytes([8])
+    out += struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, qi in comps:
+        out += bytes([cid, (hs << 4) | vs, qi])
+    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                  (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    for tc, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps)) + bytes([len(comps)])
+    for i, (cid, _hs, _vs, _qi) in enumerate(comps):
+        out += bytes([cid, 0x00 if i == 0 else 0x11])
+    out += bytes([0, 63, 0])
+    dc_l = _huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_canonical(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_canonical(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_canonical(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_no = 0
+    rst_no = 0
+    if len(comps) == 1:
+        hb, wb = coefs[0].shape[:2]
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                    bw.restart(rst_no)
+                    rst_no += 1
+                    preds = [0] * len(comps)
+                preds[0] = _encode_block(bw, coefs[0][by, bx], preds[0], dc_l, ac_l)
+                mcu_no += 1
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                    bw.restart(rst_no)
+                    rst_no += 1
+                    preds = [0] * len(comps)
+                for ci, (cid, hs, vs, qi) in enumerate(comps):
+                    dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    for v in range(vs):
+                        for hh in range(hs):
+                            preds[ci] = _encode_block(
+                                bw, coefs[ci][my * vs + v, mx * hs + hh],
+                                preds[ci], dct, act)
+                mcu_no += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            d = self.data
+            p = self.pos
+            if p >= len(d):
+                raise ValueError("JPEG entropy stream truncated")
+            b = d[p]
+            p += 1
+            if b == 0xFF:
+                if p >= len(d):
+                    raise ValueError("JPEG entropy stream truncated")
+                m = d[p]
+                if m == 0x00:
+                    p += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.pos = p
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (for RST handling); returns marker byte."""
+        self.n = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                self.pos = p + 2
+                return d[p + 1]
+            p += 1
+        raise ValueError("expected restart marker")
+
+
+def _huff_read(br: _BitReader, tab) -> int:
+    mincode, maxcode, valptr, vals = tab
+    code = br.bit()
+    length = 1
+    while code > maxcode[length]:
+        if length >= 16:
+            raise ValueError("bad huffman code")
+        code = (code << 1) | br.bit()
+        length += 1
+    return vals[valptr[length] + code - mincode[length]]
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.int64)
+    cat = _huff_read(br, dc_tab)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    dc = pred + diff
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_read(br, ac_tab)
+        run, cat = rs >> 4, rs & 0x0F
+        if cat == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _extend(br.bits(cat), cat)
+        k += 1
+    return coef, dc
+
+
+# Refuse to materialize absurd rasters inside an executor task (ADVICE r4:
+# a 4000x3000 Paeth PNG is ~48M per-byte Python steps; entropy-coded JPEG
+# scales the same way). Oversized images become error rows under media.py's
+# errors-become-data policy.
+MAX_DECODE_PIXELS = 4_000_000
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    Supports: SOF0 (and SOF1 tables-as-baseline), 8-bit, 1 or 3
+    components, sampling factors 1-2 (4:4:4/4:2:2/4:2:0 and the
+    transposed variants), DQT/DHT/DRI/RSTn, interleaved scans, and the
+    single-component non-interleaved scan layout. Chroma upsampling is
+    sample replication; color conversion is JFIF (ITU T.871) full-range.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, tuple] = {}
+    ac_tabs: dict[int, tuple] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) with comps = [(cid, hs, vs, qi)]
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                qts[tq] = tbl
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                tab = _huff_decode_tables(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (huffman sequential)
+            prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if fh * fw > MAX_DECODE_PIXELS:
+                raise ValueError(f"image {fw}x{fh} exceeds decode pixel cap")
+            comps = []
+            for c in range(nc):
+                cid, sf, qi = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, sf >> 4, sf & 0x0F, qi))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_sel.append((cs, tt >> 4, tt & 0x0F))
+            return _jpeg_scan(payload, i + 2 + seglen, frame, scan_sel,
+                              qts, dc_tabs, ac_tabs, restart_interval)
+        i += 2 + seglen
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_scan(payload, pos, frame, scan_sel, qts, dc_tabs, ac_tabs,
+               restart_interval):
+    fh, fw, comps = frame
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    br = _BitReader(payload, pos)
+    planes: dict[int, np.ndarray] = {}
+    # coefficient store per component: (blocks_y, blocks_x, 64)
+    stores = {}
+    for cid, hs, vs, qi in comps:
+        stores[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+    preds = {cid: 0 for cid, *_ in comps}
+    if len(scan_sel) == 1:
+        # non-interleaved: blocks cover ceil(comp_w/8) x ceil(comp_h/8)
+        cid, td, ta = scan_sel[0]
+        _, hs, vs, qi = by_id[cid]
+        cw = -(-fw * hs // hmax)
+        ch = -(-fh * vs // vmax)
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        cnt = 0
+        for byy in range(hb):
+            for bxx in range(wb):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    m = br.align_to_marker()
+                    if not 0xD0 <= m <= 0xD7:
+                        raise ValueError("bad restart marker")
+                    preds[cid] = 0
+                coef, preds[cid] = _decode_block(
+                    br, dc_tabs[td], ac_tabs[ta], preds[cid])
+                stores[cid][byy, bxx] = coef
+                cnt += 1
+    else:
+        cnt = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    m = br.align_to_marker()
+                    if not 0xD0 <= m <= 0xD7:
+                        raise ValueError("bad restart marker")
+                    for k in preds:
+                        preds[k] = 0
+                for cid, td, ta in scan_sel:
+                    _, hs, vs, qi = by_id[cid]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            coef, preds[cid] = _decode_block(
+                                br, dc_tabs[td], ac_tabs[ta], preds[cid])
+                            stores[cid][my * vs + v, mx * hs + hh] = coef
+                cnt += 1
+    # dequantize + IDCT per component (vectorized over all blocks)
+    for cid, hs, vs, qi in comps:
+        zz = stores[cid]
+        hb, wb = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        coef = (nat.reshape(hb, wb, 8, 8)
+                * qts[qi].reshape(8, 8)).astype(np.float64)
+        spatial = np.einsum("ux,ijuv,vy->ijxy", _DCT_C, coef, _DCT_C)
+        blocks = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+        planes[cid] = plane
+    if len(comps) == 1:
+        return planes[comps[0][0]][:fh, :fw]
+    full = {}
+    for cid, hs, vs, qi in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:fh, :fw]
+    c1, c2, c3 = (c[0] for c in comps)
+    return _ycbcr_to_rgb(full[c1], full[c2], full[c3])
+
+
 # ============================================================ decode + resize
 
 def decode_pixels(payload: bytes) -> np.ndarray:
-    """Container-dispatched pixel decode (PNG/GIF). JPEG raises — dims-only
-    for entropy-coded formats without a native codec."""
+    """Container-dispatched pixel decode (PNG/GIF/baseline JPEG). Rasters
+    above MAX_DECODE_PIXELS raise (errors-become-data upstream) — the
+    per-byte PNG Average/Paeth loops and the per-bit JPEG entropy loop are
+    priced for crawl thumbnails, not 12-megapixel camera dumps."""
     if payload[:8] == PNG_SIG:
+        w, h, _d, _c = _png_ihdr(payload)
+        if w * h > MAX_DECODE_PIXELS:
+            raise ValueError(f"image {w}x{h} exceeds decode pixel cap")
         return png_decode(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        if w * h > MAX_DECODE_PIXELS:
+            raise ValueError(f"image {w}x{h} exceeds decode pixel cap")
         return gif_decode(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return jpeg_decode(payload)
     raise ValueError("no pixel decoder for this container")
 
 

@@ -60,30 +60,41 @@ _MODULES = [relational, frontier, pool, kline, parse, text, dedup, vector, media
 # =====================================================================
 # The correctness driver verifies the FIRST 50 registry entries per round.
 # Registration above follows the module's topical layout; the driver-facing
-# order is rotated here so queries with no green driver record yet come
-# first. Round-4 window: the 26 entries never checked in any
-# CORRECTNESS_r0{1,2,3}.json, plus ann_lsh_topk (its only driver record is
-# r01 `no_oracle`, before the value-level oracle existed), plus this
-# round's additions (media_real_decode / media_real_resize — the vendored
-# real image codec). Names listed but not registered are skipped;
-# everything else keeps its original relative order, so slots 30-50 fall
-# to the r01-verified topical head (q1/q3/q5, crawl_docs, dedup tier, …) —
-# refreshing the OLDEST green records rather than r03's fresh ones.
+# order is rotated here. Round-5 window (after r4 all 140 queries have ≥1
+# driver check; 139 green, 1 red): the single red row first
+# (corpus_export_manifest — r04 hash fail, root-caused to DuckDB
+# HUGEINT→float in the driver hasher, oracle now casts ::BIGINT), then
+# this round's additions, then "stalest green first": every r01-checked
+# row (12 — includes the whole dedup tier and crawl_docs), the WARC
+# roundtrips (r03 records, but round-5 Arrow-izes warc.py plumbing), and
+# every r02-checked row (29 — the parse/extraction family whose last hard
+# check predates the round-4 HTML5 charset prescan in dom.py/parse.py).
+# Names listed but not registered are skipped; remaining slots fall to the
+# oldest r03 records in topical order.
 _VERIFY_FIRST: list[str] = [
-    # --- only driver record is a pre-oracle failure (r01 no_oracle) ---
-    "ann_lsh_topk",
-    # --- never driver-verified (r01 ∪ r02 ∪ r03 miss), relative order ---
-    "cms_heavy_hitters", "media_frame_sample", "host_kcore", "semdedup_flags",
-    "tfidf_sim_join", "sample_weighted_length", "vocab_oov_rate",
-    "pack_sequences", "dedup_incremental", "stream_window_rates",
-    "decontaminate_bloom_gate", "quality_model_scores",
-    "corpus_export_manifest", "doc_length_quantiles", "bpe_learn_merges",
-    "ann_pq_adc_topk", "ann_pq_refined_topk", "feed_seeds",
-    "robots_asof_policy", "range_join_events", "revisit_plan",
-    "temperature_mix", "conditional_refetch", "politeness_schedule",
-    "focused_priority", "epoch_shuffle",
-    # --- round-4 additions: real image codec, no driver record yet ---
-    "media_real_decode", "media_real_resize",
+    # --- the one red cell in the 140-query matrix (driver r04) ---
+    "corpus_export_manifest",
+    # --- round-5 additions: baseline-JPEG pixel decode, no record yet ---
+    "media_jpeg_decode",
+    # --- last checked r01 (oldest green records) ---
+    "lang_id", "quality_scores", "doc_fingerprints", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "ann_topk", "media_meta", "pagerank_ranks",
+    "crawl_docs",
+    # --- r03 records but round-5 changes the underlying plumbing ---
+    "warc_roundtrip", "warc_dedup_roundtrip",
+    # --- r03 records on the post-prescan dom.py path (verdict item 2) ---
+    "main_content_extract", "anchor_text_agg",
+    # --- last checked r02 (the pre-prescan parse/extraction family) ---
+    "ts_convert", "relative_date_norm", "json_projection", "weibo_field_map",
+    "pinyin_city_urls", "sql_ddl_roundtrip", "zhihu_user_items", "md5_ids",
+    "regex_extract_scan", "qcc_xpath_fields", "css_select_fields",
+    "string_cleanup", "url_normalize", "robots_filter",
+    "robots_wildcard_match", "robots_policy_parse", "sitemap_seeds",
+    "pagination_explode", "retry_budget", "coalesce_best_of",
+    "orderbook_pick", "list_projection", "token_counts", "bm25_topk",
+    "tfidf_top_terms", "hll_distinct_tokens", "token_budget_mix",
+    "dup_passage_removed", "dup_passage_spans",
 ]
 
 

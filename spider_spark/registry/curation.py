@@ -406,8 +406,8 @@ def quality_model_scores(spark, sf_dir):
                FROM documents)
     SELECT shard::INT AS shard,
            count(*) AS n_docs,
-           sum(len({_SQL_TOKENS})::BIGINT) AS n_tokens,
-           sum(strlen(text)::BIGINT) AS n_bytes,
+           sum(len({_SQL_TOKENS})::BIGINT)::BIGINT AS n_tokens,
+           sum(strlen(text)::BIGINT)::BIGINT AS n_bytes,
            min(doc_id) AS min_id,
            max(doc_id) AS max_id
     FROM s GROUP BY shard
@@ -420,13 +420,24 @@ def corpus_export_manifest(spark, sf_dir):
     and the returned manifest is computed from the files READ BACK, so
     green here certifies the sink roundtrip, not just the plan. The
     oracle recomputes shard assignment + stats from the raw table (hash60
-    is 60-bit positive, so DuckDB's % equals Spark's pmod)."""
+    is 60-bit positive, so DuckDB's % equals Spark's pmod). The outer
+    ``::BIGINT`` on the oracle's sums matters: DuckDB widens sum(BIGINT)
+    to HUGEINT, which pandas-backed hashers render as float
+    (``262144.0`` vs Spark's ``262144``) — numerically equal, textually
+    different (driver r04 hash_match:false, judge-diagnosed).
+
+    Driver-re-execution robustness: the manifest is fully materialized
+    (eager localCheckpoint + count) BEFORE the export tempdir is removed,
+    so any later re-collect replays from checkpointed blocks, never from
+    the deleted files."""
     import shutil
 
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     out = tempfile.mkdtemp(prefix="export_shards_")
     try:
-        return tbl.export_shards(d, out, n_shards=8).localCheckpoint()
+        manifest = tbl.export_shards(d, out, n_shards=8).localCheckpoint(eager=True)
+        manifest.count()  # force every partition into checkpoint storage
+        return manifest
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -201,3 +201,64 @@ def media_real_resize(spark, sf_dir):
     )
 
 
+@q(
+    "media_jpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           (8 + doc_id % 29)::INT AS width,
+           (8 + (doc_id * 5) % 29)::INT AS height,
+           (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INT AS n_channels,
+           (doc_id % 256)::INT AS solid_value
+    FROM documents
+    """,
+)
+def media_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG pixel decode (VERDICT r4 item 4): per doc each
+    task encodes a solid-value baseline sequential JPEG — grayscale for
+    even ids, YCbCr 4:2:0 color for odd, RSTn markers every 2 MCUs when
+    id % 3 == 0 — then decodes it back with imagecodec.jpeg_decode
+    (Annex-K huffman decode, dequant, IDCT, chroma upsample, T.871 color
+    convert) and reports dims / channel count / the uniform pixel value
+    (-1 if decode isn't uniform). With quality-95 Annex-K tables the DC
+    quant step is 2, so a flat field round-trips bit-exactly for every
+    value 0-255 — the ANSI-SQL oracle restates the planted truth with no
+    image math. Map-only (plant + decode inside one Arrow batch task,
+    no shuffle); per-row working set is one thumbnail, bounded further
+    by imagecodec.MAX_DECODE_PIXELS."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from spider_spark import imagecodec
+
+        for pdf in it:
+            rows = {"media_id": [], "width": [], "height": [],
+                    "n_channels": [], "solid_value": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + did % 29
+                h = 8 + (did * 5) % 29
+                v = did % 256
+                shape = (h, w) if did % 2 == 0 else (h, w, 3)
+                payload = imagecodec.jpeg_encode(
+                    np.full(shape, v, dtype=np.uint8), quality=95,
+                    subsampling="4:2:0",
+                    restart_interval=2 if did % 3 == 0 else 0)
+                img = imagecodec.jpeg_decode(payload)
+                oh, ow = img.shape[:2]
+                ch = 1 if img.ndim == 2 else img.shape[2]
+                vals = set(img.reshape(-1).tolist())
+                rows["media_id"].append(did)
+                rows["width"].append(ow)
+                rows["height"].append(oh)
+                rows["n_channels"].append(ch)
+                rows["solid_value"].append(vals.pop() if len(vals) == 1 else -1)
+            yield pd.DataFrame(rows)
+
+    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        batches,
+        schema="media_id long, width int, height int, n_channels int, solid_value int",
+    )
+
+
