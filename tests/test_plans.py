@@ -103,3 +103,16 @@ def test_rep_gates_add_no_python_to_the_round(spark, tmp_path):
         for df in res.cached:
             df.unpersist()
     assert counts[True] == counts[False]
+
+
+def test_embedding_cosine_picks_broadcast_gemm_below_threshold(spark):
+    """VERDICT r4 item 6: below the 1M-row auto-switch the embedding
+    near-dup path must be the broadcast-GEMM plan — one mapInPandas over
+    the vector scan, NO join/exchange (the blocked variant's signature is
+    a block-pair shuffle join). A silent flip to the blocked branch at
+    bench scale would double the stage count and regress ~2x."""
+    df = QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    plan = explain(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert marker not in plan, f"unexpected {marker}: broadcast-GEMM path lost"
