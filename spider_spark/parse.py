@@ -96,31 +96,33 @@ _PARSE_SCHEMA = StructType(
 
 
 def _decode_series(html: pd.Series) -> pd.Series:
-    """bytes → str, vectorized: one pandas .str.decode('utf-8') pass with a
-    per-row gb18030 retry for rows whose bytes fail strict utf-8 OR whose
-    <meta charset> prescan declares a gb family — the reference's
-    double-decode shape (抖音/抖音.py:12 decodes gb18030, everything else
-    utf-8) plus the HTML5 prescan (dom.sniff_encoding) that catches short
-    gb18030 runs which are coincidentally VALID utf-8 bytes (round-4 fuzz
-    finding)."""
-    from spider_spark.dom import sniff_encoding
+    """bytes → str with EXACTLY dom.decode_html_bytes's precedence
+    (ADVICE r4 #1: the two tiers used to disagree on declared-utf-8 pages
+    with invalid bytes and on utf-16 BOM pages — same payload, different
+    text per tier). Vectorized shape: the common case (no prescan verdict,
+    valid utf-8 — the overwhelming majority of the web) stays on the
+    pandas .str.decode('utf-8') fast path; only rows where the shared
+    policy differs from plain utf-8-replace (prescan says gb18030/utf-16,
+    or undeclared bytes failing strict utf-8 → gb18030 retry) drop to a
+    per-row decode_html_bytes call. A prescan verdict of utf-8 keeps the
+    fast path even when bytes are invalid — declared utf-8 wins over the
+    byte-failure retry, matching the dom tier."""
+    from spider_spark.dom import decode_html_bytes, sniff_encoding
 
     is_bytes = html.map(lambda v: isinstance(v, (bytes, bytearray)))
     s = html.copy()
     if is_bytes.any():
         dec = html[is_bytes].str.decode("utf-8", errors="replace")
-        # retry rows whose BYTES fail strict utf-8 — testing the decoded
-        # text for '�' would also trip on pages that legitimately CONTAIN
-        # a literal U+FFFD (common on crawl-wild pages whose upstream
-        # encoding was already broken) and mangle the whole page through
-        # the gb18030 retry — plus rows DECLARING a gb charset (the
-        # prescan only binds on recognized tokens; decoys fall through)
+        # the '�'-probe alternative would also trip on pages legitimately
+        # CONTAINING a literal U+FFFD and mangle them through the retry;
+        # testing the BYTES keeps those on the utf-8 path
         bad = html[is_bytes].map(
-            lambda r: not _is_utf8(bytes(r)) or sniff_encoding(bytes(r)) == "gb18030"
+            lambda r: sniff_encoding(bytes(r)) in ("gb18030", "utf-16")
+            or (sniff_encoding(bytes(r)) is None and not _is_utf8(bytes(r)))
         )
         if bad.any():
             dec.loc[bad] = html[is_bytes][bad].map(
-                lambda r: bytes(r).decode("gb18030", errors="replace")
+                lambda r: decode_html_bytes(bytes(r))
             )
         s.loc[is_bytes] = dec
     return s

@@ -67,11 +67,18 @@ def _parse_one(raw) -> list[dict]:
     if b"<" not in head:
         text = (bytes(raw) if isinstance(raw, (bytes, bytearray)) else raw.encode())
         text = text.decode("utf-8", errors="replace")
-        return [
+        lines = [
             {"kind": "url", "loc": line, "lastmod": None}
             for line in (ln.strip() for ln in text.splitlines())
             if line.startswith(("http://", "https://"))
         ]
+        # ADVICE r4 #2: an XML sitemap behind >256 bytes of comment/
+        # whitespace preamble sniffs as text and would silently parse to
+        # [] (its <loc> lines don't start with http). Zero url lines ⇒
+        # the text hypothesis produced nothing; fall through to the XML
+        # parser, which handles junk preambles natively.
+        if lines:
+            return lines
     tree = dom.parse_html_bytes(raw)
     out: list[dict] = []
     for u in _URL_NODES(tree):

@@ -139,3 +139,27 @@ def test_gzipped_feed(spark):
     df = spark.createDataFrame([(bytearray(gzip.compress(rss)),)], "feed_xml binary")
     out = seeds_from_feeds(df).collect()
     assert len(out) == 1 and out[0].url == "https://n.com/a"
+
+
+def test_xml_sitemap_with_long_comment_preamble():
+    """ADVICE r4 #2: >256 bytes of comment/whitespace before the first
+    '<' used to sniff as a text sitemap and silently parse to []."""
+    from spider_spark.sitemap import _parse_one
+
+    preamble = "# generated by cms\n" + ("# filler line\n" * 40)  # > 256 bytes, no '<'
+    xml = (preamble
+           + '<?xml version="1.0"?><urlset>'
+             "<url><loc>https://ex.com/a</loc><lastmod>2026-01-02</lastmod></url>"
+             "<url><loc>https://ex.com/b</loc></url></urlset>")
+    assert len(preamble.encode()) > 256
+    got = _parse_one(xml.encode())
+    assert [(e["kind"], e["loc"]) for e in got] == [
+        ("url", "https://ex.com/a"), ("url", "https://ex.com/b")]
+    assert got[0]["lastmod"] == "2026-01-02"
+
+
+def test_text_sitemap_still_parses_as_text():
+    from spider_spark.sitemap import _parse_one
+
+    body = "https://ex.com/1\nnot-a-url\nhttps://ex.com/2\n".encode()
+    assert [e["loc"] for e in _parse_one(body)] == ["https://ex.com/1", "https://ex.com/2"]

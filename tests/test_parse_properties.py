@@ -268,3 +268,33 @@ def test_decode_series_keeps_literal_replacement_char():
     out = _decode_series(pd.Series([clean, gbk]))
     assert out.iloc[0] == "title � body"
     assert out.iloc[1] == "你好"
+
+
+def test_decode_series_matches_dom_policy_on_divergent_payloads():
+    """ADVICE r4 #1: the vectorized parse-tier decode must agree with
+    dom.decode_html_bytes on every policy branch — declared-utf-8 pages
+    with invalid bytes (declared wins over the gb18030 byte-failure
+    retry), utf-16 BOM pages, declared-gb pages whose bytes are valid
+    utf-8, and undeclared broken bytes."""
+    import pandas as pd
+
+    from spider_spark.dom import decode_html_bytes
+    from spider_spark.parse import _decode_series
+
+    payloads = [
+        # declared utf-8, bytes invalid → utf-8 errors=replace, NOT gb18030
+        b'<meta charset="utf-8"><p>\xff\xfe broken</p>',
+        # utf-16 LE BOM → utf-16 decode
+        "<p>utf16 page</p>".encode("utf-16"),
+        # declared gb2312, bytes coincidentally valid utf-8 → gb18030
+        b'<meta charset="gb2312"><p>' + "注".encode("gb18030") + b"</p>",
+        # undeclared, broken utf-8 → gb18030 retry
+        "你好".encode("gb18030"),
+        # undeclared valid utf-8 → fast path
+        "plain utf-8 ✓".encode("utf-8"),
+        # BOM'd utf-8
+        b"\xef\xbb\xbfbom page",
+    ]
+    out = _decode_series(pd.Series(payloads))
+    for i, p in enumerate(payloads):
+        assert out.iloc[i] == decode_html_bytes(p), f"tier divergence on payload {i}"

@@ -62,3 +62,20 @@ def test_all_query_outputs_are_scalar_columns(spark):
         if bad:
             offenders.append((name, bad))
     assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+def test_queries_shim_resolves_only_defined_names():
+    """ADVICE r4 #3: the PEP 562 shim must resolve names DEFINED in a tier
+    module (constants imported into several tiers still resolve when they
+    are one object), and must not leak shared import aliases like np/pd
+    as module attributes."""
+    import pytest as _pytest
+
+    from spider_spark import queries
+
+    assert callable(queries.dup_passage_spans)
+    assert isinstance(queries._SQL_TOKENS, str)  # one object via imports
+    with _pytest.raises(AttributeError):
+        queries.np  # noqa: B018 — module-level import must not resolve
+    with _pytest.raises(AttributeError):
+        queries.definitely_not_defined_anywhere
