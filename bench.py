@@ -115,6 +115,7 @@ HEADLINE = [
     "epoch_shuffle",         # round 3: histogram-offset global shuffle index
     "media_real_decode",     # round 4: vendored PNG codec, real header decode
     "media_real_resize",     # round 4: pixel-true decode→resize→re-encode
+    "media_jpeg_decode",     # round 5: baseline JPEG huffman+IDCT pixel decode
 ]
 
 
