@@ -116,10 +116,14 @@ def _decode_series(html: pd.Series) -> pd.Series:
         # the '�'-probe alternative would also trip on pages legitimately
         # CONTAINING a literal U+FFFD and mangle them through the retry;
         # testing the BYTES keeps those on the utf-8 path
-        bad = html[is_bytes].map(
-            lambda r: sniff_encoding(bytes(r)) in ("gb18030", "utf-16")
-            or (sniff_encoding(bytes(r)) is None and not _is_utf8(bytes(r)))
-        )
+        def _needs_slow_path(r) -> bool:
+            b = bytes(r)
+            verdict = sniff_encoding(b)
+            return verdict in ("gb18030", "utf-16") or (
+                verdict is None and not _is_utf8(b)
+            )
+
+        bad = html[is_bytes].map(_needs_slow_path)
         if bad.any():
             dec.loc[bad] = html[is_bytes][bad].map(
                 lambda r: decode_html_bytes(bytes(r))

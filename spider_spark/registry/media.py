@@ -124,7 +124,10 @@ def _plant_png_batches(it):
 
 
 def _planted_media(spark, sf_dir) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select("doc_id")
+    # repartition the ids before planting: one parquet file → one task
+    # otherwise, serializing all codec work (see media_jpeg_decode)
+    d = (T(spark, sf_dir, "documents").select("doc_id")
+         .repartition(max(2, spark.sparkContext.defaultParallelism)))
     return d.mapInPandas(_plant_png_batches, schema="media_id long, payload binary")
 
 
@@ -256,9 +259,17 @@ def media_jpeg_decode(spark, sf_dir):
                 rows["solid_value"].append(vals.pop() if len(vals) == 1 else -1)
             yield pd.DataFrame(rows)
 
-    return T(spark, sf_dir, "documents").select("doc_id").mapInPandas(
-        batches,
-        schema="media_id long, width int, height int, n_channels int, solid_value int",
-    )
+    # repartition the 8-byte ids BEFORE the codec work: a small-SF
+    # documents table is one parquet file → one task, which would
+    # serialize ~1 ms/doc of pure-Python codec onto a single core (at
+    # warehouse scale the scan arrives multi-file and this shuffle is
+    # noise either way)
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    return (T(spark, sf_dir, "documents").select("doc_id")
+            .repartition(n_parts)
+            .mapInPandas(
+                batches,
+                schema="media_id long, width int, height int, n_channels int, solid_value int",
+            ))
 
 
