@@ -1292,3 +1292,34 @@ def test_warc_gzip_member_resync_keeps_good_records():
     urls = {r["url"] for r in rows if r["url"]}
     assert urls == {"https://h/a", "https://h/b"}
     assert sum(1 for r in rows if r["error"]) >= 1
+
+
+def test_warc_writer_output_is_bit_reproducible(spark, docs, tmp_path):
+    """Round-5 contract: write_warc output must be byte-identical across
+    runs — gzip members carry no FNAME (a GzipFile default once embedded
+    the attempt-unique tmp path, making bytes depend on Spark's global
+    task-attempt counter) and mtime is pinned to 0."""
+    import hashlib
+    import os
+
+    from spider_spark import warc
+
+    src = docs.limit(40).select(
+        F.concat(F.lit("https://h/x"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-02-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text").alias("payload"),
+    ).repartition(3).localCheckpoint()
+
+    def dirhash(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(d)):
+            h.update(f.encode())
+            h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    assert warc.write_warc(src, d1) == warc.write_warc(src, d2) == 3
+    assert dirhash(d1) == dirhash(d2)
+    # FNAME flag (bit 3 of FLG, header byte 3) must be clear in every member
+    first = open(os.path.join(d1, sorted(os.listdir(d1))[0]), "rb").read()
+    assert first[3] & 0x08 == 0
